@@ -1,0 +1,64 @@
+"""qoaudio_tpu — a TPU-native QOA ("Quite OK Audio") codec framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+Rust crate ``qoaudio`` (rafaelcaricio/qoaudio): streaming + one-shot decode,
+one-shot + frame-at-a-time encode, playback source adapter, WAV tooling, and
+batched multi-chip corpus transcode.
+
+The per-sample integer codec core runs on device (int32, exact wrapping
+semantics); byte-level framing runs on host.  Frames decode in parallel
+(each carries a full LMS snapshot); the encoder evaluates all 16
+scalefactor candidates as vector lanes and chains LMS state across slices
+with ``lax.scan``.
+"""
+
+from .format import (  # noqa: F401
+    QOA_FRAME_LEN,
+    QOA_HEADER_SIZE,
+    QOA_LMS_LEN,
+    QOA_MAGIC,
+    QOA_MAX_CHANNELS,
+    QOA_SLICE_LEN,
+    QOA_SLICES_PER_FRAME,
+    MAX_SLICES_PER_CHANNEL_PER_FRAME,
+    qoa_frame_size,
+)
+
+from .errors import (  # noqa: F401
+    DecodeError,
+    EncodeError,
+    IncompatibleFrame,
+    InvalidChannels,
+    InvalidFrameHeader,
+    InvalidSampleRate,
+    InvalidSamples,
+    IoError,
+    NoSamples,
+    NotQoaFile,
+    QoaError,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "QOA_FRAME_LEN",
+    "QOA_HEADER_SIZE",
+    "QOA_LMS_LEN",
+    "QOA_MAGIC",
+    "QOA_MAX_CHANNELS",
+    "QOA_SLICE_LEN",
+    "QOA_SLICES_PER_FRAME",
+    "MAX_SLICES_PER_CHANNEL_PER_FRAME",
+    "qoa_frame_size",
+    "DecodeError",
+    "EncodeError",
+    "IncompatibleFrame",
+    "InvalidChannels",
+    "InvalidFrameHeader",
+    "InvalidSampleRate",
+    "InvalidSamples",
+    "IoError",
+    "NoSamples",
+    "NotQoaFile",
+    "QoaError",
+]

@@ -1,0 +1,311 @@
+"""Host-side bitstream framing: byte parsing/building of QOA streams.
+
+This layer turns raw QOA bytes into dense numpy arrays shaped for the device
+kernels (and back).  It mirrors the reference decoder's *exact* traversal
+semantics (/root/reference/src/lib.rs:205-330):
+
+* frame advance is driven by the frame header's ``samples_per_channel``
+  (``ceil(n/20)`` slice windows are consumed), *not* by ``frame_size``;
+* ``frame_size`` is used only for validation;
+* a clean EOF at a frame-header boundary ends the stream; EOF anywhere else
+  is an IoError;
+* in fixed mode, channel-count / sample-rate changes after the first frame
+  raise IncompatibleFrame (src/lib.rs:246-259).
+
+All multi-byte values are big-endian.  Vectorized with numpy uint64; a native
+C++ fast path can be swapped in transparently (see utils/native.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from . import format as fmt
+from .errors import (
+    IncompatibleFrame,
+    InvalidFrameHeader,
+    IoError,
+)
+
+_CODE_SHIFTS = (57 - 3 * np.arange(fmt.QOA_SLICE_LEN, dtype=np.uint64)).astype(
+    np.uint64
+)
+_LMS_SHIFTS = (48 - 16 * np.arange(4, dtype=np.uint64)).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Slice word pack / unpack  (reference: src/lib.rs:303-315, 468-491)
+# ---------------------------------------------------------------------------
+
+def unpack_slices(words: np.ndarray):
+    """uint64 slice words -> (scalefactor uint8, codes uint8[..., 20]).
+
+    ``codes[..., k]`` is the 3-bit residual code of sample k (MSB-first
+    layout: code k lives at bits [57-3k, 59-3k]).
+    """
+    words = np.asarray(words, dtype=np.uint64)
+    sf = (words >> np.uint64(60)).astype(np.uint8)
+    codes = ((words[..., None] >> _CODE_SHIFTS) & np.uint64(7)).astype(
+        np.uint8
+    )
+    return sf, codes
+
+
+def pack_slices(sf: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """(scalefactor, codes[..., 20]) -> uint64 slice words.
+
+    Codes past a short slice's length must already be zero; that reproduces
+    the reference's left-shift of short final slices (src/lib.rs:484-487).
+    """
+    sf = np.asarray(sf, dtype=np.uint64)
+    codes = np.asarray(codes, dtype=np.uint64)
+    words = sf << np.uint64(60)
+    words = words | np.bitwise_or.reduce(codes << _CODE_SHIFTS, axis=-1)
+    return words
+
+
+# ---------------------------------------------------------------------------
+# LMS state pack / unpack  (reference: src/lib.rs:270-281, 455-466)
+# ---------------------------------------------------------------------------
+
+def unpack_lms(words: np.ndarray) -> np.ndarray:
+    """uint64 history/weight words -> int32[..., 4] (sign-extended i16)."""
+    words = np.asarray(words, dtype=np.uint64)
+    vals = ((words[..., None] >> _LMS_SHIFTS) & np.uint64(0xFFFF)).astype(
+        np.uint16
+    )
+    return vals.astype(np.int16).astype(np.int32)
+
+
+def pack_lms(vals: np.ndarray) -> np.ndarray:
+    """int32[..., 4] -> uint64 words (truncating each entry to 16 bits).
+
+    The truncation (not saturation) of out-of-i16-range weights mirrors the
+    reference's ``as u16`` cast at src/lib.rs:459-460.
+    """
+    vals = np.asarray(vals)
+    u16 = (vals.astype(np.int64) & 0xFFFF).astype(np.uint64)
+    return np.bitwise_or.reduce(u16 << _LMS_SHIFTS, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Frame parsing
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FrameRecord:
+    """One parsed frame, as numpy arrays ready for kernel assembly."""
+
+    channels: int
+    sample_rate: int
+    samples_per_channel: int
+    frame_size: int  # declared size (validation only)
+    lms_history: np.ndarray  # int32 (channels, 4)
+    lms_weights: np.ndarray  # int32 (channels, 4)
+    slice_words: np.ndarray  # uint64 (n_windows, channels)
+
+    @property
+    def n_windows(self) -> int:
+        return self.slice_words.shape[0]
+
+
+def _validate_frame_header(channels, sample_rate, frame_size):
+    if channels == 0 or sample_rate == 0:
+        raise InvalidFrameHeader()
+    non_sample = fmt.QOA_HEADER_SIZE + fmt.QOA_LMS_LEN * 4 * channels
+    if frame_size <= non_sample:
+        raise InvalidFrameHeader()
+    num_slices = (frame_size - non_sample) // 8
+    if num_slices % channels != 0:
+        raise InvalidFrameHeader()
+    if num_slices // channels > fmt.MAX_SLICES_PER_CHANNEL_PER_FRAME:
+        raise InvalidFrameHeader()
+
+
+def parse_frame(data: bytes, offset: int) -> Optional[tuple]:
+    """Parse one frame at ``offset``.
+
+    Returns ``(FrameRecord, next_offset)`` or None on clean EOF (no bytes
+    left at the header boundary).  Raises on truncation or invalid headers.
+    """
+    n = len(data)
+    if offset >= n:
+        return None
+    if offset + 8 > n:
+        raise IoError("unexpected EOF reading frame header")
+    word = int.from_bytes(data[offset : offset + 8], "big")
+    channels, sample_rate, samples_per_channel, frame_size = (
+        fmt.unpack_frame_header(word)
+    )
+    _validate_frame_header(channels, sample_rate, frame_size)
+
+    pos = offset + 8
+    lms_bytes = fmt.QOA_LMS_STATE_BYTES * channels
+    if pos + lms_bytes > n:
+        raise IoError("unexpected EOF reading LMS state")
+    lms_words = np.frombuffer(data, dtype=">u8", count=2 * channels, offset=pos)
+    lms_words = lms_words.astype(np.uint64).reshape(channels, 2)
+    history = unpack_lms(lms_words[:, 0])
+    weights = unpack_lms(lms_words[:, 1])
+    pos += lms_bytes
+
+    n_windows = -(-samples_per_channel // fmt.QOA_SLICE_LEN)
+    n_words = n_windows * channels
+    if pos + 8 * n_words > n:
+        raise IoError("unexpected EOF reading slice data")
+    words = np.frombuffer(data, dtype=">u8", count=n_words, offset=pos)
+    words = words.astype(np.uint64).reshape(n_windows, channels)
+    pos += 8 * n_words
+
+    rec = FrameRecord(
+        channels=channels,
+        sample_rate=sample_rate,
+        samples_per_channel=samples_per_channel,
+        frame_size=frame_size,
+        lms_history=history,
+        lms_weights=weights,
+        slice_words=words,
+    )
+    return rec, pos
+
+
+def iter_frames(data: bytes, offset: int = fmt.QOA_HEADER_SIZE) -> Iterator[FrameRecord]:
+    while True:
+        out = parse_frame(data, offset)
+        if out is None:
+            return
+        rec, offset = out
+        yield rec
+
+
+@dataclasses.dataclass
+class ParsedQoa:
+    """A fully parsed QOA byte stream."""
+
+    total_samples: int  # from the file header; 0 => streaming mode
+    frames: List[FrameRecord]
+
+    @property
+    def streaming(self) -> bool:
+        return self.total_samples == 0
+
+
+def parse_file(data: bytes) -> ParsedQoa:
+    """Parse a whole QOA stream (file header + all frames).
+
+    In fixed mode (total_samples != 0), enforces constant channels/rate
+    across frames like the streaming decoder does (src/lib.rs:246-259).
+    """
+    total_samples = fmt.unpack_file_header(data)
+    frames: List[FrameRecord] = []
+    for rec in iter_frames(data):
+        if total_samples != 0 and frames:
+            if (
+                rec.channels != frames[0].channels
+                or rec.sample_rate != frames[0].sample_rate
+            ):
+                raise IncompatibleFrame()
+        frames.append(rec)
+    return ParsedQoa(total_samples=total_samples, frames=frames)
+
+
+# ---------------------------------------------------------------------------
+# Frame building (encoder side)
+# ---------------------------------------------------------------------------
+
+def build_frame_bytes(
+    channels: int,
+    sample_rate: int,
+    samples_per_channel: int,
+    lms_history: np.ndarray,
+    lms_weights: np.ndarray,
+    slice_words: np.ndarray,
+) -> bytes:
+    """Assemble one frame's bytes from packed slice words + LMS snapshot."""
+    n_windows = slice_words.shape[0]
+    frame_size = fmt.qoa_frame_size(channels, n_windows)
+    header = fmt.pack_frame_header(
+        channels, sample_rate, samples_per_channel, frame_size
+    )
+    parts = [header.to_bytes(8, "big")]
+    hist_words = pack_lms(lms_history)  # (channels,)
+    wt_words = pack_lms(lms_weights)
+    lms_inter = np.empty(2 * channels, dtype=np.uint64)
+    lms_inter[0::2] = hist_words
+    lms_inter[1::2] = wt_words
+    parts.append(lms_inter.astype(">u8").tobytes())
+    parts.append(
+        np.ascontiguousarray(slice_words, dtype=np.uint64)
+        .astype(">u8")
+        .tobytes()
+    )
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Dense assembly for batched kernels
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FrameBatch:
+    """Frames of one fixed-mode stream, stacked and padded for the decoder
+    kernel.
+
+    Shapes (F = n frames, W = max windows per frame, C = channels):
+      * sf:      uint8  (F, W, C)
+      * codes:   uint8  (F, W, C, 20)
+      * history: int32  (F, C, 4)
+      * weights: int32  (F, C, 4)
+      * samples_per_frame: int64 (F,)  — true samples/channel per frame
+    """
+
+    channels: int
+    sample_rate: int
+    sf: np.ndarray
+    codes: np.ndarray
+    history: np.ndarray
+    weights: np.ndarray
+    samples_per_frame: np.ndarray
+
+    @property
+    def n_frames(self) -> int:
+        return self.sf.shape[0]
+
+    @property
+    def max_windows(self) -> int:
+        return self.sf.shape[1]
+
+
+def stack_frames(frames: List[FrameRecord]) -> FrameBatch:
+    if not frames:
+        raise ValueError("no frames to stack")
+    channels = frames[0].channels
+    rate = frames[0].sample_rate
+    if any(f.channels != channels or f.sample_rate != rate for f in frames):
+        raise IncompatibleFrame()
+    F = len(frames)
+    W = max(f.n_windows for f in frames)
+    sf = np.zeros((F, W, channels), dtype=np.uint8)
+    codes = np.zeros((F, W, channels, fmt.QOA_SLICE_LEN), dtype=np.uint8)
+    history = np.zeros((F, channels, 4), dtype=np.int32)
+    weights = np.zeros((F, channels, 4), dtype=np.int32)
+    spf = np.zeros(F, dtype=np.int64)
+    for i, f in enumerate(frames):
+        s, c = unpack_slices(f.slice_words)
+        sf[i, : f.n_windows] = s
+        codes[i, : f.n_windows] = c
+        history[i] = f.lms_history
+        weights[i] = f.lms_weights
+        spf[i] = f.samples_per_channel
+    return FrameBatch(
+        channels=channels,
+        sample_rate=rate,
+        sf=sf,
+        codes=codes,
+        history=history,
+        weights=weights,
+        samples_per_frame=spf,
+    )
