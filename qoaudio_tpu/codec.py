@@ -1,0 +1,194 @@
+"""High-level one-shot codec API: ``decode_all`` / ``encode_all``.
+
+Mirrors the reference convenience layer (/root/reference/src/lib.rs:706-763)
+with a TPU execution model: byte framing on host, all per-sample integer
+math in batched device kernels.
+
+* ``decode_all``: every frame carries its own LMS seed, so the whole file
+  is decoded in ONE batched kernel launch over frames x channels
+  (SURVEY.md §3.2) — the antithesis of the reference's per-sample iterator.
+* ``encode_all``: the LMS chain is sequential across a channel's slices, so
+  frames stream through ``ops.encode.encode_frames`` in fixed-size chunks
+  with carried device state; all 16 scalefactor candidates evaluate as
+  vector lanes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bitstream as bs
+from . import format as fmt
+from .errors import (
+    InvalidChannels,
+    InvalidSampleRate,
+    InvalidSamples,
+    NoSamples,
+)
+from .types import DecodedQoa, QoaDesc
+
+_DEFAULT_CHUNK_FRAMES = 64
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def decode_all(data: bytes, backend: str = "jax") -> DecodedQoa:
+    """Decode a complete QOA stream.
+
+    Raises IncompatibleFrame if channels/sample-rate change mid-stream
+    (reference: src/lib.rs:735-739), NoSamples on an empty stream.
+    """
+    parsed = bs.parse_file(data)
+    if not parsed.frames:
+        raise NoSamples()
+    batch = bs.stack_frames(parsed.frames)
+
+    if backend == "numpy":
+        from .reference import decode_batch_np
+
+        pcm = decode_batch_np(batch)
+    elif backend == "jax":
+        from .ops.decode import decode_batch
+
+        pad = _next_pow2(batch.n_frames * batch.channels)
+        pcm = decode_batch(batch, pad_chains_to=pad)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    # trim each frame to its true sample count and concatenate
+    spf = batch.samples_per_frame
+    if np.all(spf[:-1] == batch.max_windows * fmt.QOA_SLICE_LEN):
+        # fast path: only the final frame is short
+        flat = pcm.reshape(-1, batch.channels)
+        full = (batch.n_frames - 1) * batch.max_windows * fmt.QOA_SLICE_LEN
+        samples = np.concatenate(
+            [flat[:full], pcm[-1, : spf[-1]]]
+        ).reshape(-1)
+    else:
+        samples = np.concatenate(
+            [pcm[i, : spf[i]] for i in range(batch.n_frames)]
+        ).reshape(-1)
+
+    return DecodedQoa(
+        num_channels=batch.channels,
+        sample_rate=batch.sample_rate,
+        samples=samples.astype(np.int16),
+    )
+
+
+def open_and_decode_all(path, backend: str = "jax") -> DecodedQoa:
+    """Open a file and decode it (reference: src/lib.rs:750-754)."""
+    with open(path, "rb") as f:
+        return decode_all(f.read(), backend=backend)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+def _validate_desc(desc: QoaDesc) -> None:
+    if desc.channels == 0 or desc.channels > fmt.QOA_MAX_CHANNELS:
+        raise InvalidChannels()
+    if desc.sample_rate == 0:
+        raise InvalidSampleRate()
+    if desc.samples == 0:
+        raise InvalidSamples()
+
+
+def layout_pcm(
+    sample_data: np.ndarray, channels: int, samples: int
+):
+    """Interleaved PCM -> kernel layout.
+
+    Returns (samples (F, 256, 20, C) int32, lens (F, 256) int32, F).
+    """
+    T = samples
+    C = channels
+    F = -(-T // fmt.QOA_FRAME_LEN)
+    pcm = np.asarray(sample_data).astype(np.int32).reshape(T, C)
+    padded = np.zeros((F * fmt.QOA_FRAME_LEN, C), dtype=np.int32)
+    padded[:T] = pcm
+    x = padded.reshape(F, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, C)
+
+    lens = np.full((F, fmt.QOA_SLICES_PER_FRAME), fmt.QOA_SLICE_LEN, np.int32)
+    flat = lens.reshape(-1)
+    n_windows_total = -(-T // fmt.QOA_SLICE_LEN)
+    tail = T - (n_windows_total - 1) * fmt.QOA_SLICE_LEN
+    flat[n_windows_total - 1] = tail
+    flat[n_windows_total:] = 0
+    return x, lens, F
+
+
+def encode_all(
+    sample_data,
+    desc: QoaDesc,
+    backend: str = "jax",
+    chunk_frames: int = _DEFAULT_CHUNK_FRAMES,
+) -> bytes:
+    """One-shot encode of interleaved 16-bit PCM to QOA bytes.
+
+    Bit-exact with the reference encoder (same search, same tie-breaks).
+    """
+    _validate_desc(desc)
+    sample_data = np.asarray(sample_data)
+    if sample_data.size != desc.samples * desc.channels:
+        raise InvalidSamples()
+
+    if backend == "numpy":
+        from .reference import encode_all_py
+
+        return encode_all_py(
+            sample_data, desc.channels, desc.sample_rate, desc.samples
+        )
+    if backend != "jax":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    from .ops.encode import encode_frames, initial_encoder_state
+
+    C = desc.channels
+    T = desc.samples
+    x, lens, F = layout_pcm(sample_data, C, T)
+    lens_c = np.repeat(lens[:, :, None], C, axis=2)  # (F, 256, C)
+
+    chunk = min(chunk_frames, _next_pow2(F))
+    state = initial_encoder_state(C)
+
+    out = [fmt.pack_file_header(T)]
+    for f0 in range(0, F, chunk):
+        fc = min(chunk, F - f0)
+        cx = np.zeros(
+            (chunk, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, C), np.int32
+        )
+        cl = np.zeros((chunk, fmt.QOA_SLICES_PER_FRAME, C), np.int32)
+        cx[:fc] = x[f0 : f0 + fc]
+        cl[:fc] = lens_c[f0 : f0 + fc]
+        state, snaps, hi, lo = encode_frames(state, cx, cl)
+        state = np.asarray(state)
+        snaps = np.asarray(snaps)
+        words = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+            lo
+        ).astype(np.uint64)
+        for i in range(fc):
+            f = f0 + i
+            spc = min(fmt.QOA_FRAME_LEN, T - f * fmt.QOA_FRAME_LEN)
+            n_windows = -(-spc // fmt.QOA_SLICE_LEN)
+            out.append(
+                bs.build_frame_bytes(
+                    C,
+                    desc.sample_rate,
+                    spc,
+                    snaps[i, 0:4].T,  # (C, 4) history
+                    snaps[i, 4:8].T,  # (C, 4) weights
+                    words[i, :n_windows],
+                )
+            )
+    return b"".join(out)
