@@ -38,9 +38,39 @@ from .errors import (  # noqa: F401
     QoaError,
 )
 
+from .types import (  # noqa: F401
+    DecodedQoa,
+    FixedSamples,
+    FrameHeader,
+    ProcessingMode,
+    QoaDesc,
+    Streaming,
+)
+
+from .codec import (  # noqa: F401
+    decode_all,
+    encode_all,
+    open_and_decode_all,
+)
+
+from .streaming import QoaDecoder, QoaEncoder  # noqa: F401
+from .source import QoaPcmSource  # noqa: F401
+
 __version__ = "0.1.0"
 
 __all__ = [
+    "DecodedQoa",
+    "FixedSamples",
+    "FrameHeader",
+    "ProcessingMode",
+    "QoaDesc",
+    "Streaming",
+    "decode_all",
+    "encode_all",
+    "open_and_decode_all",
+    "QoaDecoder",
+    "QoaEncoder",
+    "QoaPcmSource",
     "QOA_FRAME_LEN",
     "QOA_HEADER_SIZE",
     "QOA_LMS_LEN",

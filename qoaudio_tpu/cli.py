@@ -1,0 +1,151 @@
+"""Command-line tools: encode / decode / play / transcode.
+
+Analogs of the reference examples (/root/reference/examples/encode.rs,
+decode.rs, play.rs) plus a batched corpus ``transcode`` command that has no
+reference counterpart (SURVEY.md §1, new top layer).
+
+Usage:
+  python -m qoaudio_tpu.cli encode  input.wav output.qoa
+  python -m qoaudio_tpu.cli decode  input.qoa output.wav
+  python -m qoaudio_tpu.cli play    input.qoa          (writes to sink/stdout)
+  python -m qoaudio_tpu.cli transcode *.qoa --out-dir DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _cmd_encode(args) -> int:
+    from . import codec
+    from .types import QoaDesc
+    from .utils.wav import read_wav
+
+    pcm, channels, rate = read_wav(args.input)
+    samples_per_channel = len(pcm) // channels
+    desc = QoaDesc(channels, rate, samples_per_channel)
+
+    t0 = time.perf_counter()
+    data = codec.encode_all(pcm, desc, backend=args.backend)
+    dt = time.perf_counter() - t0
+
+    with open(args.output, "wb") as f:
+        f.write(data)
+
+    pcm_bytes = len(pcm) * 2
+    ratio = pcm_bytes / len(data)
+    print(
+        f"{args.input}: {samples_per_channel} samples/ch, {channels} ch, "
+        f"{rate} Hz"
+    )
+    print(
+        f"encoded {pcm_bytes} -> {len(data)} bytes "
+        f"(compression {ratio:.2f}x) in {dt*1e3:.1f} ms "
+        f"({len(pcm)/dt/1e6:.1f} Msamples/s)"
+    )
+    return 0
+
+
+def _cmd_decode(args) -> int:
+    from . import codec
+    from .utils.wav import write_wav
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    t0 = time.perf_counter()
+    out = codec.decode_all(data, backend=args.backend)
+    dt = time.perf_counter() - t0
+    write_wav(args.output, out.samples, out.num_channels, out.sample_rate)
+    print(
+        f"decoded {len(out.samples)} samples ({out.num_channels} ch, "
+        f"{out.sample_rate} Hz, {out.duration_seconds:.1f} s) "
+        f"in {dt*1e3:.1f} ms ({len(out.samples)/dt/1e6:.1f} Msamples/s)"
+    )
+    return 0
+
+
+def _cmd_play(args) -> int:
+    """Stream samples to an audio sink.
+
+    Without an audio device (typical on TPU hosts), ``--sink wav`` (default)
+    renders to a temp WAV; ``--sink raw`` streams raw PCM to stdout, pipeable
+    into e.g. ``aplay -f S16_LE``.
+    """
+    from .source import QoaPcmSource
+    from .streaming import QoaDecoder
+
+    src = QoaPcmSource(QoaDecoder.open(args.input, backend=args.backend))
+    # touch the first frame so metadata is available
+    samples = src.read()
+    if args.sink == "raw":
+        sys.stdout.buffer.write(samples.astype("<i2").tobytes())
+        return 0
+    out = args.output or (os.path.splitext(args.input)[0] + ".play.wav")
+    from .utils.wav import write_wav
+
+    write_wav(out, samples, src.channels, src.sample_rate)
+    dur = src.total_duration()
+    print(
+        f"rendered {args.input} ({src.channels} ch, {src.sample_rate} Hz"
+        + (f", {dur:.1f} s" if dur else "")
+        + f") -> {out}"
+    )
+    return 0
+
+
+def _cmd_transcode(args) -> int:
+    from .parallel.corpus import transcode_corpus
+
+    report = transcode_corpus(
+        args.inputs,
+        out_dir=args.out_dir,
+        verify=not args.no_verify,
+    )
+    for line in report.lines():
+        print(line)
+    return 0 if report.ok else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="qoaudio_tpu", description=__doc__)
+    p.add_argument(
+        "--backend",
+        choices=["jax", "numpy"],
+        default="jax",
+        help="execution backend for the codec core",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="WAV -> QOA")
+    pe.add_argument("input")
+    pe.add_argument("output")
+    pe.set_defaults(fn=_cmd_encode)
+
+    pd = sub.add_parser("decode", help="QOA -> WAV")
+    pd.add_argument("input")
+    pd.add_argument("output")
+    pd.set_defaults(fn=_cmd_decode)
+
+    pp = sub.add_parser("play", help="decode to an audio sink")
+    pp.add_argument("input")
+    pp.add_argument("--output", default=None)
+    pp.add_argument("--sink", choices=["wav", "raw"], default="wav")
+    pp.set_defaults(fn=_cmd_play)
+
+    pt = sub.add_parser("transcode", help="batched corpus transcode")
+    pt.add_argument("inputs", nargs="+")
+    pt.add_argument("--out-dir", default=None)
+    pt.add_argument("--no-verify", action="store_true")
+    pt.set_defaults(fn=_cmd_transcode)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -114,8 +114,8 @@ def layout_pcm(
     T = samples
     C = channels
     F = -(-T // fmt.QOA_FRAME_LEN)
-    pcm = np.asarray(sample_data).astype(np.int32).reshape(T, C)
-    padded = np.zeros((F * fmt.QOA_FRAME_LEN, C), dtype=np.int32)
+    pcm = np.asarray(sample_data).astype(np.int16).reshape(T, C)
+    padded = np.zeros((F * fmt.QOA_FRAME_LEN, C), dtype=np.int16)
     padded[:T] = pcm
     x = padded.reshape(F, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, C)
 
@@ -166,7 +166,7 @@ def encode_all(
     for f0 in range(0, F, chunk):
         fc = min(chunk, F - f0)
         cx = np.zeros(
-            (chunk, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, C), np.int32
+            (chunk, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, C), np.int16
         )
         cl = np.zeros((chunk, fmt.QOA_SLICES_PER_FRAME, C), np.int32)
         cx[:fc] = x[f0 : f0 + fc]

@@ -41,6 +41,7 @@ def _slice_magnitudes(sf):
       m0 = (3v+2)>>2,  m1 = (5v+1)>>1,  m2 = (9v+1)>>1,  m3 = 7v
     The 16-way scalefactor-value select runs once per slice, not per sample.
     """
+    sf = sf.astype(jnp.int32)
     sfv = jnp.zeros_like(sf)
     for s in range(16):
         sfv = sfv + jnp.where(sf == s, _I32(int(_SF_TAB[s])), _I32(0))
@@ -77,7 +78,7 @@ def _decode_slice(carry, xs):
     outs = []
     for k in range(fmt.QOA_SLICE_LEN):
         prediction = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> 13
-        dq = _dequant(codes[k], mags)
+        dq = _dequant(codes[k].astype(jnp.int32), mags)
         recon = jnp.clip(prediction + dq, -32768, 32767)
         outs.append(recon.astype(jnp.int16))
         delta = dq >> 4
@@ -120,9 +121,9 @@ def decode_batch(batch, pad_chains_to: int | None = None) -> np.ndarray:
     state[0:4, :N] = batch.history.reshape(N, 4).T
     state[4:8, :N] = batch.weights.reshape(N, 4).T
 
-    sf = np.zeros((W, Np), dtype=np.int32)
+    sf = np.zeros((W, Np), dtype=np.int8)
     sf[:, :N] = batch.sf.transpose(1, 0, 2).reshape(W, N)
-    codes = np.zeros((W, fmt.QOA_SLICE_LEN, Np), dtype=np.int32)
+    codes = np.zeros((W, fmt.QOA_SLICE_LEN, Np), dtype=np.int8)
     codes[:, :, :N] = (
         batch.codes.transpose(1, 3, 0, 2).reshape(W, fmt.QOA_SLICE_LEN, N)
     )

@@ -99,7 +99,7 @@ def _encode_slice(carry, xs):
         penalty = jnp.maximum((ssum >> 18) - 0x8FF, 0)
         pen_sq = (penalty * penalty).astype(_U32)
 
-        sample = x[k][None, :]
+        sample = x[k][None, :].astype(_I32)  # inputs may be int16 (HBM-lean)
         residual = sample - prediction
         # qoa_div: wrapping reciprocal multiply, +0.5 bias, away-from-zero
         n = (residual * recip + (1 << 15)) >> 16

@@ -1,0 +1,201 @@
+"""Batched multi-file corpus transcode (the new top layer, SURVEY.md §1).
+
+Packs the channels of many files into one chain axis so a whole corpus
+encodes in a handful of kernel launches: files are padded to a common
+frame count with zero-length slices (which pass LMS state through
+unchanged), PCM stays device-resident across the chunked scan, and the
+chain axis optionally shards over a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .. import bitstream as bs
+from .. import codec
+from .. import format as fmt
+from ..types import DecodedQoa, QoaDesc
+
+
+@dataclasses.dataclass
+class CorpusFile:
+    path: str
+    desc: QoaDesc
+    pcm: np.ndarray  # interleaved int16
+
+
+@dataclasses.dataclass
+class TranscodeReport:
+    files: List[str]
+    total_samples: int
+    encode_seconds: float
+    decode_seconds: float
+    results: List[dict]
+    ok: bool = True
+
+    def lines(self) -> List[str]:
+        out = []
+        for r in self.results:
+            out.append(
+                f"{r['path']}: {r['samples']} samples, "
+                f"compression {r['ratio']:.2f}x, rms {r['rms']:.1f}"
+                + (", bit-exact re-decode" if r["exact"] else "")
+            )
+        msps_enc = self.total_samples / self.encode_seconds / 1e6
+        msps_dec = self.total_samples / self.decode_seconds / 1e6
+        out.append(
+            f"corpus: {len(self.files)} files, {self.total_samples} samples; "
+            f"decode {msps_dec:.1f} Msamples/s, encode {msps_enc:.1f} Msamples/s"
+        )
+        return out
+
+
+def batch_encode(
+    files: Sequence[tuple[np.ndarray, QoaDesc]],
+    mesh=None,
+    chunk_frames: int = 64,
+) -> List[bytes]:
+    """Encode many PCM streams in one batched chain axis.
+
+    Returns QOA bytes per file, each bit-exact with single-file encoding
+    (chains are independent lanes; padding slices are inert).
+    """
+    from ..ops.encode import encode_frames, initial_encoder_state
+
+    for pcm, desc in files:
+        codec._validate_desc(desc)
+        if np.asarray(pcm).size != desc.samples * desc.channels:
+            from ..errors import InvalidSamples
+
+            raise InvalidSamples()
+
+    layouts = [codec.layout_pcm(pcm, d.channels, d.samples) for pcm, d in files]
+    F_max = max(F for _, _, F in layouts)
+    chunk = min(chunk_frames, codec._next_pow2(F_max))
+    F_pad = -(-F_max // chunk) * chunk
+
+    # chain offsets per file
+    offsets = []
+    n = 0
+    for _, d in files:
+        offsets.append(n)
+        n += d.channels
+    N = n
+    if mesh is not None:
+        size = mesh.size
+        N = -(-N // size) * size  # pad chains to mesh divisibility
+
+    x = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, N), np.int16)
+    lens = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, N), np.int32)
+    state = initial_encoder_state(0, N)  # same init weights for every chain
+
+    for (pcm, d), (xf, lf, F), off in zip(files, layouts, offsets):
+        x[:F, :, :, off : off + d.channels] = xf
+        lens[:F, :, off : off + d.channels] = lf[:, :, None]
+
+    # chunked scan with carried state
+    words_parts = []
+    snaps_parts = []
+    for f0 in range(0, F_pad, chunk):
+        cx, cl = x[f0 : f0 + chunk], lens[f0 : f0 + chunk]
+        if mesh is not None:
+            from .mesh import encode_frames_sharded
+
+            state, snaps, hi, lo = encode_frames_sharded(mesh, state, cx, cl)
+        else:
+            state, snaps, hi, lo = encode_frames(state, cx, cl)
+        state = np.asarray(state)
+        snaps_parts.append(np.asarray(snaps))
+        words_parts.append(
+            (np.asarray(hi).astype(np.uint64) << np.uint64(32))
+            | np.asarray(lo).astype(np.uint64)
+        )
+    snaps = np.concatenate(snaps_parts)  # (F_pad, 8, N)
+    words = np.concatenate(words_parts)  # (F_pad, 256, N)
+
+    out: List[bytes] = []
+    for (pcm, d), (xf, lf, F), off in zip(files, layouts, offsets):
+        parts = [fmt.pack_file_header(d.samples)]
+        C = d.channels
+        for f in range(F):
+            spc = min(fmt.QOA_FRAME_LEN, d.samples - f * fmt.QOA_FRAME_LEN)
+            n_windows = -(-spc // fmt.QOA_SLICE_LEN)
+            parts.append(
+                bs.build_frame_bytes(
+                    C,
+                    d.sample_rate,
+                    spc,
+                    snaps[f, 0:4, off : off + C].T,
+                    snaps[f, 4:8, off : off + C].T,
+                    words[f, :n_windows, off : off + C],
+                )
+            )
+        out.append(b"".join(parts))
+    return out
+
+
+def transcode_corpus(
+    paths: Sequence[str],
+    out_dir: Optional[str] = None,
+    verify: bool = True,
+    mesh=None,
+) -> TranscodeReport:
+    """Decode a set of QOA files, re-encode them batched, verify, report."""
+    decoded: List[CorpusFile] = []
+    t0 = time.perf_counter()
+    for p in paths:
+        with open(p, "rb") as f:
+            data = f.read()
+        d = codec.decode_all(data)
+        decoded.append(
+            CorpusFile(
+                path=p,
+                desc=QoaDesc(d.num_channels, d.sample_rate, d.samples_per_channel),
+                pcm=d.samples,
+            )
+        )
+    decode_seconds = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    encoded = batch_encode([(c.pcm, c.desc) for c in decoded], mesh=mesh)
+    encode_seconds = time.perf_counter() - t0
+
+    results = []
+    ok = True
+    total = 0
+    for c, data in zip(decoded, encoded):
+        total += len(c.pcm)
+        r = {
+            "path": c.path,
+            "samples": len(c.pcm),
+            "ratio": (len(c.pcm) * 2) / len(data),
+            "rms": 0.0,
+            "exact": False,
+        }
+        if verify:
+            again = codec.decode_all(data)
+            err = again.samples.astype(np.float64) - c.pcm.astype(np.float64)
+            r["rms"] = float(np.sqrt((err**2).mean()))
+            r["exact"] = bool(np.array_equal(again.samples, c.pcm))
+            if r["rms"] >= 500:
+                ok = False
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            name = os.path.splitext(os.path.basename(c.path))[0] + ".qoa"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(data)
+        results.append(r)
+
+    return TranscodeReport(
+        files=list(paths),
+        total_samples=total,
+        encode_seconds=encode_seconds,
+        decode_seconds=decode_seconds,
+        results=results,
+        ok=ok,
+    )

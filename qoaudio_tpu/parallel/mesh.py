@@ -1,0 +1,68 @@
+"""Device-mesh sharding for multi-chip corpus transcode.
+
+The QOA workload is embarrassingly parallel across files/channels
+(SURVEY.md §2.2): the chain axis N of the codec kernels shards over a 1-D
+``jax.sharding.Mesh`` with no algorithmic point-to-point communication —
+XLA partitions the elementwise work and only throughput statistics are
+all-gathered.  Shardings ride ICI; there is no NCCL/MPI analog to port
+(the reference is single-threaded scalar Rust).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the available (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def _spec_for_rank(rank: int) -> P:
+    """PartitionSpec sharding only the last (chain) axis."""
+    return P(*([None] * (rank - 1) + [DATA_AXIS]))
+
+
+def shard_chain_arrays(mesh: Mesh, *arrays):
+    """Device-put arrays with their last axis sharded across the mesh.
+
+    The chain axis must be divisible by the mesh size (pad first).
+    """
+    out = []
+    for a in arrays:
+        spec = _spec_for_rank(np.ndim(a))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def encode_frames_sharded(mesh: Mesh, state, samples, lens):
+    """Run the encoder kernel with all operands sharded over chains.
+
+    state (8, N), samples (F, 256, 20, N), lens (F, 256, N); N must be a
+    multiple of the mesh size.  Compiles to per-device partitions with no
+    cross-device collectives in the hot loop.
+    """
+    from ..ops.encode import encode_frames
+
+    state, samples, lens = shard_chain_arrays(mesh, state, samples, lens)
+    return encode_frames(state, samples, lens)
+
+
+def decode_chains_sharded(mesh: Mesh, state, sf, codes):
+    """Run the decoder kernel with all operands sharded over chains."""
+    from ..ops.decode import decode_chains
+
+    state, sf, codes = shard_chain_arrays(mesh, state, sf, codes)
+    return decode_chains(state, sf, codes)

@@ -1,0 +1,521 @@
+"""Streaming codec objects: ``QoaDecoder`` and ``QoaEncoder``.
+
+API parity with the reference's L3 layer:
+
+* ``QoaDecoder`` (/root/reference/src/lib.rs:59-331,619-693): pull-based
+  iterator yielding ``FrameHeader`` objects at frame starts and ``int``
+  samples in between; fixed and streaming modes; ``open``/``new_streaming``/
+  ``decode_frame``/``mode``/``current_frame_header``/``total_duration``/
+  ``into_inner``.
+* ``QoaEncoder`` (src/lib.rs:85-493): one-shot ``encode`` plus streaming
+  ``write_header`` + ``encode_frame`` with LMS state carried across calls
+  (byte-identical to one-shot, like the reference's test_streaming_encode).
+
+Execution model difference (TPU-native): instead of decoding one slice at a
+time, whole frames are decoded in a single vectorized call (numpy by
+default; ``backend="jax"`` runs the device kernel).  Iterator semantics are
+preserved, including the quirk that a streaming-mode decoder yields an
+initial default ``FrameHeader(0, 0, 0)`` before the first real frame
+(src/lib.rs:674-678 with the Default current_frame).
+
+Divergence note: the reference dies permanently if ``decode_frame`` is fed
+a partial frame (its cursor has already consumed bytes).  This decoder
+buffers instead and resumes once the rest of the frame arrives — strictly
+more tolerant, same behavior for whole-frame feeding.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterator, Optional, Union
+
+import numpy as np
+
+from . import bitstream as bs
+from . import format as fmt
+from .errors import (
+    InvalidSamples,
+    IoError,
+    NoSamples,
+    NotQoaFile,
+)
+from .types import FixedSamples, FrameHeader, ProcessingMode, QoaDesc, Streaming
+
+
+def _as_reader(source) -> io.BufferedIOBase:
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        return io.BytesIO(bytes(source))
+    if hasattr(source, "read"):
+        return source
+    raise TypeError("source must be bytes or a binary file-like object")
+
+
+class _GrowableBuffer:
+    """Append-only byte source used by streaming-mode decoders."""
+
+    def __init__(self, initial: bytes = b""):
+        self._buf = bytearray(initial)
+        self._pos = 0
+
+    def append(self, data: bytes) -> None:
+        self._buf.extend(data)
+
+    def read(self, n: int) -> bytes:
+        out = bytes(self._buf[self._pos : self._pos + n])
+        self._pos += len(out)
+        return out
+
+    def peek_len(self) -> int:
+        return len(self._buf) - self._pos
+
+    def rewind(self, n: int) -> None:
+        self._pos -= n
+
+
+class QoaDecoder:
+    """Streaming QOA decoder with iterator semantics.
+
+    Yields ``FrameHeader`` at each frame start and ``int`` samples between
+    headers.  Bulk access: ``read_samples`` / ``decode_pending``.
+    """
+
+    def __init__(self, source, backend: str = "numpy", readahead: int = 32):
+        """``readahead``: frames decoded per staging batch.  Frames are
+        decode-parallel (each carries its LMS seed), so staging many at once
+        costs the same wall time as one — the TPU-idiomatic default.  Use
+        ``readahead=1`` for strict frame-at-a-time IO."""
+        self._reader = _as_reader(source)
+        self._backend = backend
+        self._readahead = max(1, readahead)
+        self._dead = False
+
+        header = self._reader.read(fmt.QOA_HEADER_SIZE)
+        if len(header) < fmt.QOA_HEADER_SIZE:
+            raise IoError("unexpected EOF reading file header")
+        if int.from_bytes(header[:4], "big") != fmt.QOA_MAGIC:
+            raise NotQoaFile()
+        total_samples = int.from_bytes(header[4:8], "big")
+
+        self._pending: np.ndarray = np.empty(0, dtype=np.int16)
+        self._pending_idx = 0
+        self._returned_first_header = False
+        self._current_header = FrameHeader(0, 0, 0)
+        # decoded-but-undrained frames: deque of (header, pcm, yield_header)
+        from collections import deque
+
+        self._queue = deque()
+        self._records = deque()  # parsed but not yet decoded FrameRecords
+        self._pending_error: Optional[Exception] = None
+        self._mode: Optional[ProcessingMode] = None  # set below
+
+        if total_samples == 0:
+            self._mode = Streaming()
+        else:
+            # fixed mode: read the first frame eagerly (NoSamples if absent),
+            # mirroring QoaDecoder::new (src/lib.rs:160-166)
+            rec = self._read_frame_record()
+            if rec is None:
+                raise NoSamples()
+            self._mode = FixedSamples(
+                channels=rec.channels,
+                sample_rate=rec.sample_rate,
+                samples=total_samples,
+            )
+            self._current_header = FrameHeader(
+                rec.channels, rec.sample_rate, rec.samples_per_channel
+            )
+            # its header is delivered by the first-header path, not the queue
+            self._records.append((rec, False))
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def open(cls, path, backend: str = "numpy", readahead: int = 32) -> "QoaDecoder":
+        """Open a file path (reference: src/lib.rs:619-625)."""
+        return cls(open(path, "rb"), backend=backend, readahead=readahead)
+
+    @classmethod
+    def new_streaming(cls, backend: str = "numpy", readahead: int = 32) -> "QoaDecoder":
+        """Decoder for network-streamed frames (src/lib.rs:632-638)."""
+        buf = _GrowableBuffer(fmt.pack_file_header(0))
+        return cls(buf, backend=backend, readahead=readahead)
+
+    # -- accessors ---------------------------------------------------------
+
+    def mode(self) -> ProcessingMode:
+        return self._mode
+
+    def current_frame_header(self) -> FrameHeader:
+        return self._current_header
+
+    def total_duration(self) -> Optional[float]:
+        """Duration in seconds for fixed mode, None when streaming."""
+        if isinstance(self._mode, FixedSamples):
+            return self._mode.samples / self._mode.sample_rate
+        return None
+
+    def into_inner(self):
+        """Return the underlying reader; the decoder must not be used after."""
+        self._dead = True
+        return self._reader
+
+    # -- frame loading -----------------------------------------------------
+
+    def _read_exact(self, n: int, *, eof_ok: bool = False) -> Optional[bytes]:
+        data = self._reader.read(n)
+        if len(data) == n:
+            return data
+        if eof_ok and len(data) == 0:
+            return None
+        if isinstance(self._reader, _GrowableBuffer):
+            # partial frame in a streaming buffer: rewind and wait for more
+            self._reader.rewind(len(data))
+            return None
+        raise IoError("unexpected EOF inside frame")
+
+    def _read_frame_record(self) -> Optional[bs.FrameRecord]:
+        """Read one whole frame; None on clean EOF (or incomplete buffer)."""
+        start_is_growable = isinstance(self._reader, _GrowableBuffer)
+        hdr = self._read_exact(8, eof_ok=True)
+        if hdr is None:
+            return None
+        word = int.from_bytes(hdr, "big")
+        channels, sample_rate, spc, frame_size = fmt.unpack_frame_header(word)
+        bs._validate_frame_header(channels, sample_rate, frame_size)
+
+        if isinstance(self._mode, FixedSamples):
+            if (
+                channels != self._mode.channels
+                or sample_rate != self._mode.sample_rate
+            ) and self._mode.channels != 0:
+                from .errors import IncompatibleFrame
+
+                raise IncompatibleFrame()
+
+        n_windows = -(-spc // fmt.QOA_SLICE_LEN)
+        body_len = fmt.QOA_LMS_STATE_BYTES * channels + 8 * n_windows * channels
+        body = self._read_exact(body_len)
+        if body is None:
+            # growable buffer: not enough data yet; un-consume the header
+            if start_is_growable:
+                self._reader.rewind(8)
+                return None
+            raise IoError("unexpected EOF inside frame")
+
+        lms_words = (
+            np.frombuffer(body, dtype=">u8", count=2 * channels)
+            .astype(np.uint64)
+            .reshape(channels, 2)
+        )
+        words = (
+            np.frombuffer(
+                body,
+                dtype=">u8",
+                count=n_windows * channels,
+                offset=fmt.QOA_LMS_STATE_BYTES * channels,
+            )
+            .astype(np.uint64)
+            .reshape(n_windows, channels)
+        )
+        return bs.FrameRecord(
+            channels=channels,
+            sample_rate=sample_rate,
+            samples_per_channel=spc,
+            frame_size=frame_size,
+            lms_history=bs.unpack_lms(lms_words[:, 0]),
+            lms_weights=bs.unpack_lms(lms_words[:, 1]),
+            slice_words=words,
+        )
+
+    def _decode_records(self, recs) -> None:
+        """Decode a run of frames with equal (channels, rate) in ONE batched
+        call — frames are decode-parallel — and queue the per-frame blocks."""
+        batch = bs.stack_frames([r for r, _ in recs])
+        if self._backend == "jax":
+            from .ops.decode import decode_batch
+
+            pcm = decode_batch(batch)
+        else:
+            from .reference import decode_batch_np
+
+            pcm = decode_batch_np(batch)
+        for i, (rec, yield_header) in enumerate(recs):
+            hdr = FrameHeader(
+                rec.channels, rec.sample_rate, rec.samples_per_channel
+            )
+            block = pcm[i, : rec.samples_per_channel].reshape(-1)
+            self._queue.append((hdr, block, yield_header))
+
+    def _fill_queue(self) -> None:
+        """Read ahead up to ``readahead`` frames and decode them batched.
+
+        Consecutive frames with equal (channels, rate) share one decode
+        call; a format change (streaming mode) starts a new group.
+        """
+        if self._queue or self._dead:
+            return
+        while len(self._records) < self._readahead:
+            try:
+                rec = self._read_frame_record()
+            except Exception as e:
+                self._pending_error = e
+                break
+            if rec is None:
+                break
+            self._records.append((rec, True))
+        while self._records:
+            group = [self._records.popleft()]
+            key = (group[0][0].channels, group[0][0].sample_rate)
+            while self._records and (
+                self._records[0][0].channels,
+                self._records[0][0].sample_rate,
+            ) == key:
+                group.append(self._records.popleft())
+            self._decode_records(group)
+
+    # -- iteration ---------------------------------------------------------
+
+    def __iter__(self) -> "QoaDecoder":
+        return self
+
+    def __next__(self):
+        while True:
+            if self._dead:
+                raise StopIteration
+            if self._pending_idx < len(self._pending):
+                s = int(self._pending[self._pending_idx])
+                self._pending_idx += 1
+                return s
+            if not self._returned_first_header:
+                self._returned_first_header = True
+                return self._current_header
+            self._fill_queue()
+            if not self._queue:
+                self._raise_or_stop()
+            hdr, block, yield_header = self._queue.popleft()
+            self._current_header = hdr
+            self._pending = block
+            self._pending_idx = 0
+            if yield_header:
+                return hdr
+
+    def _raise_or_stop(self):
+        self._dead = True
+        if self._pending_error is not None:
+            err, self._pending_error = self._pending_error, None
+            raise err
+        raise StopIteration
+
+    # -- bulk access -------------------------------------------------------
+
+    def next_frame(self):
+        """Advance to the next frame; return (FrameHeader, int16 samples).
+
+        Returns None at end of stream.  Any samples already staged but not
+        yet drained by the iterator belong to the *current* frame and are
+        returned with the current header.  This is the bulk-granularity
+        analog of the item iterator.
+        """
+        if self._dead:
+            return None
+        self._returned_first_header = True
+        if self._pending_idx < len(self._pending):
+            out = self._pending[self._pending_idx :]
+            self._pending_idx = len(self._pending)
+            return self._current_header, out
+        self._fill_queue()
+        if not self._queue:
+            try:
+                self._raise_or_stop()
+            except StopIteration:
+                return None
+        hdr, block, _ = self._queue.popleft()
+        self._current_header = hdr
+        self._pending = np.empty(0, dtype=np.int16)
+        self._pending_idx = 0
+        return hdr, block
+
+    def decode_pending(self) -> np.ndarray:
+        """Drain everything currently decodable into one int16 array.
+
+        Frame headers are skipped (like ``decode_frame`` in the reference,
+        src/lib.rs:641-651).  A deferred mid-stream error is raised only
+        after all decodable samples have been returned.
+        """
+        chunks = []
+        if self._pending_idx < len(self._pending):
+            chunks.append(self._pending[self._pending_idx :])
+            self._pending_idx = len(self._pending)
+        self._returned_first_header = True
+        while not self._dead:
+            self._fill_queue()
+            if not self._queue:
+                if self._pending_error is not None and not chunks:
+                    self._raise_or_stop()
+                break
+            while self._queue:
+                hdr, block, _ = self._queue.popleft()
+                self._current_header = hdr
+                chunks.append(block)
+        if chunks:
+            return np.concatenate(chunks)
+        return np.empty(0, dtype=np.int16)
+
+    def decode_frame(self, frame_data: bytes) -> np.ndarray:
+        """Streaming mode: feed frame bytes, return newly decoded samples.
+
+        Reference: src/lib.rs:641-651.
+        """
+        if not isinstance(self._reader, _GrowableBuffer):
+            raise TypeError("decode_frame requires a new_streaming decoder")
+        self._reader.append(bytes(frame_data))
+        return self.decode_pending()
+
+
+class QoaEncoder:
+    """QOA encoder with one-shot and frame-at-a-time streaming APIs.
+
+    LMS state and ``prev_scalefactor`` persist across ``encode_frame``
+    calls, so streamed output is byte-identical to one-shot output
+    (reference guarantee, src/lib.rs:1262-1297).
+    """
+
+    def __init__(self, desc: QoaDesc, backend: str = "jax"):
+        from .codec import _validate_desc
+
+        _validate_desc(desc)
+        self.desc = desc
+        self._backend = backend
+        self.channels = desc.channels
+        self.sample_rate = desc.sample_rate
+        self.samples = desc.samples
+        # carried state: (8, C) int32 — history rows 0-3, weights rows 4-7
+        from .ops.encode import initial_encoder_state
+
+        self._state = initial_encoder_state(desc.channels)
+        # kept for API parity; the search order does not use it (the
+        # reference carries but never reads it — src/lib.rs:90,481)
+        self.prev_scalefactor = [0] * desc.channels
+
+    # -- checkpoint / resume -------------------------------------------------
+    #
+    # The reference has no checkpointing, but its in-stream equivalent is
+    # that every frame serializes full LMS state (src/lib.rs:455-466).  The
+    # streaming encoder's carried state is exposed here as an explicit,
+    # serializable pytree so a long encode can resume exactly (SURVEY.md §5).
+
+    def get_state(self) -> dict:
+        """Snapshot the carried codec state (copy, JSON/npz-friendly)."""
+        return {
+            "history": self._state[0:4].T.copy(),  # (C, 4) int32
+            "weights": self._state[4:8].T.copy(),
+            "prev_scalefactor": list(self.prev_scalefactor),
+        }
+
+    def set_state(self, state: dict) -> None:
+        """Restore a snapshot taken by :meth:`get_state`."""
+        self._state = np.concatenate(
+            [
+                np.asarray(state["history"], np.int32).T,
+                np.asarray(state["weights"], np.int32).T,
+            ]
+        )
+        self.prev_scalefactor = list(state["prev_scalefactor"])
+
+    # -- streaming API -----------------------------------------------------
+
+    def write_header(self, writer) -> None:
+        """Write the 8-byte file header (reference: src/lib.rs:404-408)."""
+        writer.write(fmt.pack_file_header(self.samples))
+
+    def encode_frame(self, sample_data, writer) -> int:
+        """Encode one frame of interleaved PCM and write it.
+
+        Returns the number of samples per channel encoded.
+        """
+        data = self._frame_bytes(sample_data)
+        writer.write(data)
+        return len(np.asarray(sample_data).reshape(-1)) // self.channels
+
+    def encode_frame_bytes(self, sample_data) -> bytes:
+        """Like ``encode_frame`` but returns the bytes."""
+        return self._frame_bytes(sample_data)
+
+    def _frame_bytes(self, sample_data) -> bytes:
+        pcm = np.asarray(sample_data).reshape(-1)
+        C = self.channels
+        if pcm.size == 0 or pcm.size % C != 0:
+            raise InvalidSamples()
+        frame_len = pcm.size // C
+        if frame_len > fmt.QOA_FRAME_LEN:
+            raise InvalidSamples()
+
+        if self._backend == "numpy":
+            return self._frame_bytes_numpy(pcm, frame_len)
+
+        from .codec import layout_pcm
+        from .ops.encode import encode_frames
+
+        x, lens, F = layout_pcm(pcm, C, frame_len)
+        assert F == 1
+        lens_c = np.repeat(lens[:, :, None], C, axis=2)
+        state, snaps, hi, lo = encode_frames(self._state, x, lens_c)
+        self._state = np.asarray(state)
+        snaps = np.asarray(snaps)
+        words = (
+            np.asarray(hi).astype(np.uint64) << np.uint64(32)
+        ) | np.asarray(lo).astype(np.uint64)
+        n_windows = -(-frame_len // fmt.QOA_SLICE_LEN)
+        # track prev_scalefactor for parity (top 4 bits of last slice word)
+        for c in range(C):
+            self.prev_scalefactor[c] = int(words[0, n_windows - 1, c] >> 60)
+        return bs.build_frame_bytes(
+            C,
+            self.sample_rate,
+            frame_len,
+            snaps[0, 0:4].T,
+            snaps[0, 4:8].T,
+            words[0, :n_windows],
+        )
+
+    def _frame_bytes_numpy(self, pcm, frame_len: int) -> bytes:
+        from .reference import Lms, PyEncoder
+
+        enc = PyEncoder.__new__(PyEncoder)
+        enc.channels = self.channels
+        enc.sample_rate = self.sample_rate
+        enc.samples = self.samples
+        enc.lms = [
+            Lms(list(map(int, self._state[0:4, c])),
+                list(map(int, self._state[4:8, c])))
+            for c in range(self.channels)
+        ]
+        enc.prev_scalefactor = list(self.prev_scalefactor)
+        out = enc.encode_frame_bytes(list(map(int, pcm)))
+        for c in range(self.channels):
+            self._state[0:4, c] = enc.lms[c].history
+            self._state[4:8, c] = enc.lms[c].weights
+        self.prev_scalefactor = list(enc.prev_scalefactor)
+        return out
+
+    # -- one-shot API ------------------------------------------------------
+
+    def encode(self, sample_data) -> bytes:
+        """One-shot encode (reference: src/lib.rs:367-398).
+
+        Uses the encoder's *current* carried state, like the reference's
+        ``&mut self`` method.
+        """
+        pcm = np.asarray(sample_data).reshape(-1)
+        if pcm.size != self.samples * self.channels:
+            raise InvalidSamples()
+        out = [fmt.pack_file_header(self.samples)]
+        total = self.samples
+        offset = 0
+        while offset < total:
+            frame_len = min(total - offset, fmt.QOA_FRAME_LEN)
+            start = offset * self.channels
+            end = (offset + frame_len) * self.channels
+            out.append(self._frame_bytes(pcm[start:end]))
+            offset += frame_len
+        return b"".join(out)

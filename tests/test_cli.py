@@ -1,0 +1,71 @@
+"""CLI tests (analogs of the reference examples)."""
+
+import numpy as np
+import pytest
+
+from qoaudio_tpu import cli, codec
+from qoaudio_tpu.types import QoaDesc
+from qoaudio_tpu.utils.wav import read_wav, write_wav
+
+from conftest import make_noise, make_sine
+
+
+@pytest.fixture
+def wav_file(tmp_path):
+    pcm = make_sine(5000, 2)
+    p = tmp_path / "in.wav"
+    write_wav(p, pcm, 2, 44100)
+    return p, pcm
+
+
+def test_wav_roundtrip(tmp_path):
+    pcm = make_noise(777, 2, seed=1)
+    p = tmp_path / "t.wav"
+    write_wav(p, pcm, 2, 48000)
+    got, ch, rate = read_wav(p)
+    assert ch == 2 and rate == 48000
+    assert np.array_equal(got, pcm)
+
+
+def test_cli_encode_decode(tmp_path, wav_file, capsys):
+    wav_in, pcm = wav_file
+    qoa = tmp_path / "out.qoa"
+    wav_out = tmp_path / "out.wav"
+
+    assert cli.main(["encode", str(wav_in), str(qoa)]) == 0
+    out = capsys.readouterr().out
+    assert "compression" in out
+
+    # encoded bytes must match the library API
+    want = codec.encode_all(pcm, QoaDesc(2, 44100, 5000))
+    assert qoa.read_bytes() == want
+
+    assert cli.main(["decode", str(qoa), str(wav_out)]) == 0
+    got, ch, rate = read_wav(wav_out)
+    assert ch == 2 and rate == 44100
+    assert np.array_equal(got, codec.decode_all(want).samples)
+
+
+def test_cli_play_wav_sink(tmp_path, wav_file, capsys):
+    wav_in, pcm = wav_file
+    qoa = tmp_path / "o.qoa"
+    cli.main(["encode", str(wav_in), str(qoa)])
+    out_wav = tmp_path / "rendered.wav"
+    assert cli.main(["play", str(qoa), "--output", str(out_wav)]) == 0
+    got, ch, rate = read_wav(out_wav)
+    assert ch == 2 and rate == 44100
+    assert len(got) == 10000
+
+
+def test_cli_transcode(tmp_path, capsys):
+    pcm = make_noise(3000, 1, seed=7)
+    qoa = tmp_path / "a.qoa"
+    qoa.write_bytes(codec.encode_all(pcm, QoaDesc(1, 44100, 3000)))
+    assert (
+        cli.main(
+            ["transcode", str(qoa), "--out-dir", str(tmp_path / "out")]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "corpus: 1 files" in out

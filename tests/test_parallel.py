@@ -1,0 +1,108 @@
+"""Sharding and batched-corpus tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from qoaudio_tpu import codec
+from qoaudio_tpu import format as fmt
+from qoaudio_tpu import reference as ref
+from qoaudio_tpu.parallel.corpus import batch_encode, transcode_corpus
+from qoaudio_tpu.parallel.mesh import (
+    decode_chains_sharded,
+    encode_frames_sharded,
+    make_mesh,
+)
+from qoaudio_tpu.types import QoaDesc
+
+from conftest import make_noise, make_sine
+
+
+def test_virtual_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_batch_encode_matches_single_file():
+    files = [
+        (make_sine(700, 1), QoaDesc(1, 44100, 700)),
+        (make_noise(6000, 2, seed=3), QoaDesc(2, 44100, 6000)),
+        (make_noise(123, 1, seed=4), QoaDesc(1, 8000, 123)),
+    ]
+    batched = batch_encode(files)
+    for (pcm, desc), data in zip(files, batched):
+        want = codec.encode_all(pcm, desc)
+        assert data == want
+
+
+def test_batch_encode_sharded_matches_unsharded():
+    mesh = make_mesh()
+    files = [
+        (make_noise(3000, 2, seed=i), QoaDesc(2, 44100, 3000))
+        for i in range(4)
+    ]
+    sharded = batch_encode(files, mesh=mesh)
+    plain = batch_encode(files)
+    assert sharded == plain
+
+
+def test_encode_frames_sharded_runs_on_mesh():
+    mesh = make_mesh()
+    N = 16  # divisible by 8 devices
+    F = 1
+    rng = np.random.default_rng(0)
+    x = rng.integers(-30000, 30000, (F, 256, 20, N)).astype(np.int32)
+    lens = np.full((F, 256, N), 20, np.int32)
+    from qoaudio_tpu.ops.encode import encode_frames, initial_encoder_state
+
+    state = initial_encoder_state(0, N)
+    s1, sn1, hi1, lo1 = encode_frames_sharded(mesh, state, x, lens)
+    s2, sn2, hi2, lo2 = encode_frames(state, x, lens)
+    assert np.array_equal(np.asarray(hi1), np.asarray(hi2))
+    assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_decode_chains_sharded(fixture_bytes):
+    from qoaudio_tpu import bitstream as bs
+
+    mesh = make_mesh()
+    parsed = bs.parse_file(fixture_bytes)
+    batch = bs.stack_frames(parsed.frames[:8])
+    F, W, C = batch.sf.shape
+    N = F * C  # 16 chains over 8 devices
+    state = np.zeros((8, N), np.int32)
+    state[0:4] = batch.history.reshape(N, 4).T
+    state[4:8] = batch.weights.reshape(N, 4).T
+    sf = batch.sf.transpose(1, 0, 2).reshape(W, N).astype(np.int32)
+    codes = (
+        batch.codes.transpose(1, 3, 0, 2).reshape(W, 20, N).astype(np.int32)
+    )
+    got = np.asarray(decode_chains_sharded(mesh, state, sf, codes))
+    want = ref.decode_batch_np(batch)  # (F, W*20, C)
+    got = got.reshape(W, 20, F, C).transpose(2, 0, 1, 3).reshape(F, W * 20, C)
+    assert np.array_equal(got, want)
+
+
+def test_transcode_corpus(tmp_path):
+    # build a small mixed corpus
+    paths = []
+    specs = [
+        (make_sine(5000, 1), QoaDesc(1, 44100, 5000)),
+        (make_noise(12000, 2, seed=1), QoaDesc(2, 48000, 12000)),
+        (make_noise(333, 1, seed=2), QoaDesc(1, 22050, 333)),
+    ]
+    for i, (pcm, desc) in enumerate(specs):
+        p = tmp_path / f"in{i}.qoa"
+        p.write_bytes(codec.encode_all(pcm, desc))
+        paths.append(str(p))
+
+    out_dir = tmp_path / "out"
+    report = transcode_corpus(paths, out_dir=str(out_dir), verify=True)
+    assert report.ok
+    assert len(report.results) == 3
+    # re-encoding an already-QOA-quantized signal is typically exact
+    for r in report.results:
+        assert r["rms"] < 500
+    for i in range(3):
+        assert (out_dir / f"in{i}.qoa").exists()
+    assert any("Msamples/s" in line for line in report.lines())

@@ -1,0 +1,215 @@
+"""Tests for the streaming QoaDecoder / QoaEncoder facades.
+
+Ports the reference's integration tests: iterator semantics
+(src/lib.rs:998-1032), streaming frame decode (src/lib.rs:1034-1066), and
+streaming-encode byte equality (src/lib.rs:1262-1297).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from qoaudio_tpu import (
+    FixedSamples,
+    FrameHeader,
+    QoaDecoder,
+    QoaDesc,
+    QoaEncoder,
+    Streaming,
+    codec,
+)
+from qoaudio_tpu import format as fmt
+from qoaudio_tpu import reference as ref
+from qoaudio_tpu.errors import InvalidSamples, NoSamples, NotQoaFile
+
+from conftest import (
+    FIXTURE_FRAMES,
+    FIXTURE_LAST_FRAME_SAMPLES,
+    FIXTURE_SAMPLES_PER_CHANNEL,
+    make_noise,
+    make_sine,
+)
+
+
+def test_iterating_through_whole_file(fixture_bytes):
+    qoa = QoaDecoder(fixture_bytes)
+    assert qoa.mode() == FixedSamples(2, 44100, FIXTURE_SAMPLES_PER_CHANNEL)
+    assert qoa.total_duration() == pytest.approx(
+        FIXTURE_SAMPLES_PER_CHANNEL / 44100
+    )
+
+    frame_headers_seen = 0
+    samples_seen = 0
+    for item in qoa:
+        if isinstance(item, FrameHeader):
+            assert item.num_channels == 2
+            assert item.sample_rate == 44100
+            frame_headers_seen += 1
+            if frame_headers_seen < FIXTURE_FRAMES:
+                assert item.num_samples_per_channel == 5120
+            else:
+                assert item.num_samples_per_channel == FIXTURE_LAST_FRAME_SAMPLES
+        else:
+            samples_seen += 1
+            if samples_seen > 25000:
+                break  # per-item python iteration is for API parity, not bulk
+
+    # bulk-drain the rest and account for every sample
+    rest = qoa.decode_pending()
+    assert samples_seen + len(rest) == FIXTURE_SAMPLES_PER_CHANNEL * 2
+    # we saw at least the first few frame headers before breaking
+    assert frame_headers_seen >= 3
+
+
+def test_iterator_sample_values_match_decode_all():
+    pcm = make_sine(100, 1)
+    data = ref.encode_all_py(pcm, 1, 44100, 100)
+    dec = QoaDecoder(data)
+    items = list(dec)
+    headers = [i for i in items if isinstance(i, FrameHeader)]
+    samples = [i for i in items if not isinstance(i, FrameHeader)]
+    assert len(headers) == 1
+    assert headers[0] == FrameHeader(1, 44100, 100)
+    want = codec.decode_all(data).samples
+    assert np.array_equal(np.array(samples, dtype=np.int16), want)
+
+
+def test_decode_streaming_frames(fixture_bytes):
+    # feed the first two frames one at a time (reference test,
+    # src/lib.rs:1034-1066)
+    qoa = QoaDecoder.new_streaming()
+    assert isinstance(qoa.mode(), Streaming)
+    assert qoa.total_duration() is None
+
+    off = fmt.QOA_HEADER_SIZE
+    hdr = int.from_bytes(fixture_bytes[off : off + 8], "big")
+    frame_size = hdr & 0xFFFF
+    first_end = off + frame_size
+    samples = qoa.decode_frame(fixture_bytes[off:first_end])
+    assert len(samples) == 5120 * 2
+
+    hdr = int.from_bytes(fixture_bytes[first_end : first_end + 8], "big")
+    frame_size = hdr & 0xFFFF
+    second_end = first_end + frame_size
+    samples = qoa.decode_frame(fixture_bytes[first_end:second_end])
+    assert len(samples) == 5120 * 2
+
+    # values must match the fixed-mode decoder
+    want = codec.decode_all(fixture_bytes).samples[: 4 * 5120]
+
+
+def test_streaming_decoder_yields_default_first_header():
+    # faithful quirk: streaming mode yields FrameHeader(0,0,0) first
+    # (src/lib.rs:674-678 with Default current_frame)
+    pcm = make_sine(40, 1)
+    data = ref.encode_all_py(pcm, 1, 44100, 40)
+    qoa = QoaDecoder.new_streaming()
+    qoa._reader.append(data[8:])
+    items = list(qoa)
+    assert items[0] == FrameHeader(0, 0, 0)
+    assert items[1] == FrameHeader(1, 44100, 40)
+    assert len(items) == 2 + 40
+
+
+def test_streaming_partial_frame_buffers():
+    # divergence (documented): partial frames buffer instead of erroring
+    pcm = make_sine(100, 1)
+    data = ref.encode_all_py(pcm, 1, 44100, 100)
+    frame = data[8:]
+    qoa = QoaDecoder.new_streaming()
+    assert len(qoa.decode_frame(frame[:10])) == 0
+    assert len(qoa.decode_frame(frame[10:30])) == 0
+    out = qoa.decode_frame(frame[30:])
+    assert len(out) == 100
+
+
+def test_decoder_open_and_into_inner(tmp_path, fixture_bytes):
+    p = tmp_path / "x.qoa"
+    p.write_bytes(fixture_bytes)
+    dec = QoaDecoder.open(p)
+    hdr, samples = dec.next_frame()
+    assert hdr.num_samples_per_channel == 5120
+    assert len(samples) == 5120 * 2
+    inner = dec.into_inner()
+    assert hasattr(inner, "read")
+    inner.close()
+
+
+def test_decoder_rejects_bad_magic():
+    with pytest.raises(NotQoaFile):
+        QoaDecoder(b"nope" + b"\x00" * 100)
+
+
+def test_decoder_no_samples():
+    with pytest.raises(NoSamples):
+        QoaDecoder(fmt.pack_file_header(123))  # header only, no frames
+
+
+def test_next_frame_walk(fixture_bytes):
+    dec = QoaDecoder(fixture_bytes)
+    n = 0
+    total = 0
+    while True:
+        out = dec.next_frame()
+        if out is None:
+            break
+        hdr, samples = out
+        n += 1
+        total += len(samples)
+    assert n == FIXTURE_FRAMES
+    assert total == FIXTURE_SAMPLES_PER_CHANNEL * 2
+
+
+def test_streaming_encoder_equals_oneshot_jax():
+    pcm = make_noise(12000, 2, seed=21, amplitude=26000)
+    desc = QoaDesc(2, 44100, 12000)
+
+    oneshot = codec.encode_all(pcm, desc)
+
+    enc = QoaEncoder(desc)
+    out = io.BytesIO()
+    enc.write_header(out)
+    offset = 0
+    while offset < 12000:
+        n = min(12000 - offset, fmt.QOA_FRAME_LEN)
+        enc.encode_frame(pcm[offset * 2 : (offset + n) * 2], out)
+        offset += n
+    assert out.getvalue() == oneshot
+
+
+def test_encoder_oneshot_method_matches_module_fn():
+    pcm = make_sine(3000, 1)
+    desc = QoaDesc(1, 44100, 3000)
+    assert QoaEncoder(desc).encode(pcm) == codec.encode_all(pcm, desc)
+
+
+def test_encoder_backend_numpy_matches_jax():
+    pcm = make_noise(700, 2, seed=13)
+    desc = QoaDesc(2, 44100, 700)
+    a = QoaEncoder(desc, backend="numpy").encode(pcm)
+    b = QoaEncoder(desc, backend="jax").encode(pcm)
+    assert a == b
+
+
+def test_encode_frame_validation():
+    enc = QoaEncoder(QoaDesc(2, 44100, 10000))
+    out = io.BytesIO()
+    with pytest.raises(InvalidSamples):
+        enc.encode_frame(np.empty(0, np.int16), out)
+    with pytest.raises(InvalidSamples):
+        enc.encode_frame(np.zeros(3, np.int16), out)  # not multiple of ch
+    with pytest.raises(InvalidSamples):
+        enc.encode_frame(
+            np.zeros((fmt.QOA_FRAME_LEN + 1) * 2, np.int16), out
+        )
+
+
+def test_encoder_prev_scalefactor_tracked():
+    pcm = make_noise(100, 1, seed=2)
+    enc = QoaEncoder(QoaDesc(1, 44100, 100))
+    enc.encode(pcm)
+    # matches the oracle's vestigial prev_scalefactor
+    pyenc = ref.PyEncoder(1, 44100, 100)
+    pyenc.encode(list(map(int, pcm)))
+    assert enc.prev_scalefactor == pyenc.prev_scalefactor
