@@ -107,27 +107,33 @@ def decode_chains(state, sf, codes):
     return ys
 
 
-def decode_batch(batch, pad_chains_to: int | None = None) -> np.ndarray:
+def decode_batch(
+    batch,
+    pad_chains_to: int | None = None,
+    pad_windows_to: int | None = None,
+) -> np.ndarray:
     """Decode a host FrameBatch on device -> int16 (F, W*20, C), untrimmed.
 
-    ``pad_chains_to`` pads the chain axis (to limit jit recompilation across
-    differently-sized files; padded chains decode garbage that is dropped).
+    ``pad_chains_to`` / ``pad_windows_to`` pad the chain / window axes (to
+    limit jit recompilation across differently-sized files; padded chains
+    and trailing padded windows decode garbage that is dropped).
     """
     F, W, C = batch.sf.shape
     N = F * C
     Np = max(pad_chains_to or N, N)
+    Wp = max(pad_windows_to or W, W)
 
     state = np.zeros((8, Np), dtype=np.int32)
     state[0:4, :N] = batch.history.reshape(N, 4).T
     state[4:8, :N] = batch.weights.reshape(N, 4).T
 
-    sf = np.zeros((W, Np), dtype=np.int8)
-    sf[:, :N] = batch.sf.transpose(1, 0, 2).reshape(W, N)
-    codes = np.zeros((W, fmt.QOA_SLICE_LEN, Np), dtype=np.int8)
-    codes[:, :, :N] = (
+    sf = np.zeros((Wp, Np), dtype=np.int8)
+    sf[:W, :N] = batch.sf.transpose(1, 0, 2).reshape(W, N)
+    codes = np.zeros((Wp, fmt.QOA_SLICE_LEN, Np), dtype=np.int8)
+    codes[:W, :, :N] = (
         batch.codes.transpose(1, 3, 0, 2).reshape(W, fmt.QOA_SLICE_LEN, N)
     )
 
     ys = np.asarray(decode_chains(jnp.asarray(state), jnp.asarray(sf), jnp.asarray(codes)))
-    ys = ys[:, :, :N].reshape(W, fmt.QOA_SLICE_LEN, F, C)
+    ys = ys[:W, :, :N].reshape(W, fmt.QOA_SLICE_LEN, F, C)
     return ys.transpose(2, 0, 1, 3).reshape(F, W * fmt.QOA_SLICE_LEN, C)

@@ -148,52 +148,42 @@ def _encode_slice(carry, xs):
             for t, nxt in enumerate([H[1], H[2], H[3], recon])
         ]
 
-    # lexicographic argmin over the sf axis:
-    #   key = (total_hi, total_lo, first_hi, first_lo); strict-< reduction in
-    #   ascending sf order implements the reference's tie-break (lowest sf
-    #   among equals — SURVEY.md §3.3).
-    def take(a, s):
-        return a[s]
-
-    b = {
-        "t_hi": take(rank_hi, 0),
-        "t_lo": take(rank_lo, 0),
-        "f_hi": take(first_hi, 0),
-        "f_lo": take(first_lo, 0),
-        "w_hi": take(word_hi, 0),
-        "w_lo": take(word_lo, 0),
-    }
-    bH = [take(H[t], 0) for t in range(4)]
-    bW = [take(W[t], 0) for t in range(4)]
+    # Lexicographic argmin over the sf axis with key
+    # (total_hi, total_lo, first_hi, first_lo), ties -> lowest sf: the
+    # reference's sequential-search winner (proof in SURVEY.md §3.3).
+    #
+    # Structured as TWO cascaded 2-limb select chains: pass 1 finds the
+    # minimum total rank (keys only); pass 2 masks the losers' first-sample
+    # keys to +inf and selects min (first, sf) among the total-rank winners.
+    # A single 4-limb comparison chain — however phrased (nested booleans,
+    # integer arithmetic, or masked min-reductions) — trips a pathological
+    # XLA:CPU codegen cliff, measured ~4,000x slower than this form; the
+    # two-pass shape is also branch-free and VPU-friendly on TPU.
+    m_hi, m_lo = rank_hi[0], rank_lo[0]
     for s in range(1, _NSF):
-        t_hi, t_lo = rank_hi[s], rank_lo[s]
-        f_hi, f_lo = first_hi[s], first_lo[s]
-        better = (t_hi < b["t_hi"]) | (
-            (t_hi == b["t_hi"])
-            & (
-                (t_lo < b["t_lo"])
-                | (
-                    (t_lo == b["t_lo"])
-                    & (
-                        (f_hi < b["f_hi"])
-                        | ((f_hi == b["f_hi"]) & (f_lo < b["f_lo"]))
-                    )
-                )
-            )
-        )
-        b = {
-            "t_hi": jnp.where(better, t_hi, b["t_hi"]),
-            "t_lo": jnp.where(better, t_lo, b["t_lo"]),
-            "f_hi": jnp.where(better, f_hi, b["f_hi"]),
-            "f_lo": jnp.where(better, f_lo, b["f_lo"]),
-            "w_hi": jnp.where(better, word_hi[s], b["w_hi"]),
-            "w_lo": jnp.where(better, word_lo[s], b["w_lo"]),
-        }
+        better = (rank_hi[s] < m_hi) | ((rank_hi[s] == m_hi) & (rank_lo[s] < m_lo))
+        m_hi = jnp.where(better, rank_hi[s], m_hi)
+        m_lo = jnp.where(better, rank_lo[s], m_lo)
+    is_min = (rank_hi == m_hi[None]) & (rank_lo == m_lo[None])
+    fk_hi = jnp.where(is_min, first_hi, _I32(0x7FFFFFFF))
+    fk_lo = jnp.where(is_min, first_lo, _U32(0xFFFFFFFF))
+
+    b_hi, b_lo = fk_hi[0], fk_lo[0]
+    bwh, bwl = word_hi[0], word_lo[0]
+    bH = [H[t][0] for t in range(4)]
+    bW = [W[t][0] for t in range(4)]
+    for s in range(1, _NSF):
+        # strict < in ascending sf order keeps the lowest sf among ties
+        better = (fk_hi[s] < b_hi) | ((fk_hi[s] == b_hi) & (fk_lo[s] < b_lo))
+        b_hi = jnp.where(better, fk_hi[s], b_hi)
+        b_lo = jnp.where(better, fk_lo[s], b_lo)
+        bwh = jnp.where(better, word_hi[s], bwh)
+        bwl = jnp.where(better, word_lo[s], bwl)
         bH = [jnp.where(better, H[t][s], bH[t]) for t in range(4)]
         bW = [jnp.where(better, W[t][s], bW[t]) for t in range(4)]
 
     new_carry = jnp.stack(bH + bW)
-    return new_carry, (b["w_hi"], b["w_lo"])
+    return new_carry, (bwh, bwl)
 
 
 def _encode_frame_step(carry, xs):

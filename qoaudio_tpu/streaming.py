@@ -232,9 +232,16 @@ class QoaDecoder:
         call — frames are decode-parallel — and queue the per-frame blocks."""
         batch = bs.stack_frames([r for r, _ in recs])
         if self._backend == "jax":
+            from .codec import _next_pow2
             from .ops.decode import decode_batch
 
-            pcm = decode_batch(batch)
+            # pad both axes to pow2 buckets: bounded compile count across
+            # arbitrary group sizes / frame lengths
+            pcm = decode_batch(
+                batch,
+                pad_chains_to=max(8, _next_pow2(batch.n_frames * batch.channels)),
+                pad_windows_to=_next_pow2(batch.max_windows),
+            )
         else:
             from .reference import decode_batch_np
 
@@ -453,18 +460,26 @@ class QoaEncoder:
         if self._backend == "numpy":
             return self._frame_bytes_numpy(pcm, frame_len)
 
-        from .codec import layout_pcm
+        from .codec import _CANON_CHAINS, layout_pcm
         from .ops.encode import encode_frames
 
         x, lens, F = layout_pcm(pcm, C, frame_len)
         assert F == 1
-        lens_c = np.repeat(lens[:, :, None], C, axis=2)
-        state, snaps, hi, lo = encode_frames(self._state, x, lens_c)
-        self._state = np.asarray(state)
-        snaps = np.asarray(snaps)
+        # pad to the canonical kernel shape (see codec._CANON_CHAINS): one
+        # compile shared with every other 1-frame encode in the process
+        Np = _CANON_CHAINS
+        cx = np.zeros((1, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, Np), np.int16)
+        cl = np.zeros((1, fmt.QOA_SLICES_PER_FRAME, Np), np.int32)
+        cx[0, :, :, :C] = x[0]
+        cl[0, :, :C] = lens[0, :, None]
+        st = np.zeros((8, Np), np.int32)
+        st[:, :C] = self._state
+        state, snaps, hi, lo = encode_frames(st, cx, cl)
+        self._state = np.asarray(state)[:, :C]
+        snaps = np.asarray(snaps)[:, :, :C]
         words = (
-            np.asarray(hi).astype(np.uint64) << np.uint64(32)
-        ) | np.asarray(lo).astype(np.uint64)
+            np.asarray(hi[:, :, :C]).astype(np.uint64) << np.uint64(32)
+        ) | np.asarray(lo[:, :, :C]).astype(np.uint64)
         n_windows = -(-frame_len // fmt.QOA_SLICE_LEN)
         # track prev_scalefactor for parity (top 4 bits of last slice word)
         for c in range(C):

@@ -86,17 +86,50 @@ def test_decode_streaming_frames(fixture_bytes):
     hdr = int.from_bytes(fixture_bytes[off : off + 8], "big")
     frame_size = hdr & 0xFFFF
     first_end = off + frame_size
-    samples = qoa.decode_frame(fixture_bytes[off:first_end])
-    assert len(samples) == 5120 * 2
+    first = qoa.decode_frame(fixture_bytes[off:first_end])
+    assert len(first) == 5120 * 2
 
     hdr = int.from_bytes(fixture_bytes[first_end : first_end + 8], "big")
     frame_size = hdr & 0xFFFF
     second_end = first_end + frame_size
-    samples = qoa.decode_frame(fixture_bytes[first_end:second_end])
-    assert len(samples) == 5120 * 2
+    second = qoa.decode_frame(fixture_bytes[first_end:second_end])
+    assert len(second) == 5120 * 2
 
     # values must match the fixed-mode decoder
     want = codec.decode_all(fixture_bytes).samples[: 4 * 5120]
+    got = np.concatenate([first, second])
+    assert np.array_equal(got, want)
+
+
+def test_encoder_state_checkpoint_resume():
+    # get_state/set_state must allow a byte-identical resume mid-stream
+    # (the checkpoint/resume axis, SURVEY.md §5; every QOA frame likewise
+    # serializes its full LMS state, src/lib.rs:455-466)
+    pcm = make_noise(12000, 2, seed=5, amplitude=28000)
+    desc = QoaDesc(2, 44100, 12000)
+
+    enc = QoaEncoder(desc)
+    whole = io.BytesIO()
+    enc.write_header(whole)
+    enc.encode_frame(pcm[: 5120 * 2], whole)
+    snap = enc.get_state()
+    enc.encode_frame(pcm[5120 * 2 : 10240 * 2], whole)
+    enc.encode_frame(pcm[10240 * 2 :], whole)
+
+    # resume from the snapshot in a FRESH encoder
+    enc2 = QoaEncoder(desc)
+    enc2.set_state(snap)
+    resumed = io.BytesIO()
+    enc2.encode_frame(pcm[5120 * 2 : 10240 * 2], resumed)
+    enc2.encode_frame(pcm[10240 * 2 :], resumed)
+
+    # the resumed tail must equal the uninterrupted encoder's tail bytes
+    tail_start = len(whole.getvalue()) - len(resumed.getvalue())
+    assert whole.getvalue()[tail_start:] == resumed.getvalue()
+    # and the snapshot itself round-trips through get/set
+    assert np.array_equal(enc2.get_state()["history"], enc.get_state()["history"])
+    assert np.array_equal(enc2.get_state()["weights"], enc.get_state()["weights"])
+    assert enc2.get_state()["prev_scalefactor"] == enc.get_state()["prev_scalefactor"]
 
 
 def test_streaming_decoder_yields_default_first_header():
