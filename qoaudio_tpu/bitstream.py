@@ -213,6 +213,130 @@ def parse_file(data: bytes) -> ParsedQoa:
 
 
 # ---------------------------------------------------------------------------
+# Fast whole-file parse (fixed-layout streams)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ParsedArrays:
+    """Dense whole-file parse: arrays shaped for the chain-vector kernels.
+
+    Chain n = frame f * channels + channel c.  ``words_be`` holds the RAW
+    big-endian u64 slice words (consumers byteswap or ``.astype`` as
+    needed); rows past a short final frame's windows are zero.
+    """
+
+    total_samples: int
+    channels: int
+    sample_rate: int
+    samples_per_frame: np.ndarray  # int64 (F,)
+    words_be: np.ndarray  # uint64 (W, F*C) raw big-endian
+    state: np.ndarray  # int32 (8, F*C) frame-start LMS
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.samples_per_frame)
+
+    @property
+    def max_windows(self) -> int:
+        return self.words_be.shape[0]
+
+
+def parse_file_arrays(data: bytes) -> Optional[ParsedArrays]:
+    """Vectorized parse of a fixed-mode uniform-frame QOA stream.
+
+    Exploits the format's arithmetic layout (every non-final frame is
+    byte-identical in geometry, /root/reference/src/lib.rs:602-604): one
+    ``np.frombuffer`` + reshape covers all full frames; only the final
+    short frame (if any) is parsed individually.  Returns None when the
+    stream is not uniform (streaming mode, mid-stream format change, or
+    corrupt) — callers fall back to the general ``parse_file`` walk.
+    """
+    n = len(data)
+    if n < fmt.QOA_HEADER_SIZE + 8:
+        return None
+    try:
+        total_samples = fmt.unpack_file_header(data)
+    except Exception:
+        return None
+    if total_samples == 0:
+        return None  # streaming mode: frames may differ; use parse_file
+
+    hdr0 = int.from_bytes(data[8:16], "big")
+    channels, rate, spc0, fsize0 = fmt.unpack_frame_header(hdr0)
+    try:
+        _validate_frame_header(channels, rate, fsize0)
+    except Exception:
+        return None
+    W0 = -(-spc0 // fmt.QOA_SLICE_LEN)
+    frame_bytes = fmt.qoa_frame_size(channels, W0)
+    if fsize0 != frame_bytes:
+        return None
+    frame_words = frame_bytes // 8
+
+    body = n - fmt.QOA_HEADER_SIZE
+    F_full = body // frame_bytes
+    tail_bytes = body - F_full * frame_bytes
+    if F_full == 0:
+        return None
+
+    words8 = np.frombuffer(
+        data, dtype=">u8", count=F_full * frame_words, offset=fmt.QOA_HEADER_SIZE
+    ).reshape(F_full, frame_words)
+
+    # all full frames must share the exact header word (same geometry)
+    if not bool((words8[:, 0] == words8[0, 0]).all()):
+        return None
+
+    # final short frame, if any
+    tail = None
+    if tail_bytes:
+        out = parse_frame(data, fmt.QOA_HEADER_SIZE + F_full * frame_bytes)
+        if out is None:
+            return None
+        tail, end = out
+        if end != n or tail.channels != channels or tail.sample_rate != rate:
+            return None
+
+    F = F_full + (1 if tail is not None else 0)
+    C = channels
+    N = F * C
+    W = W0
+
+    # LMS state: (F_full, C, 2) u64 -> (8, N)
+    lms = words8[:, 1 : 1 + 2 * C].astype(np.uint64).reshape(F_full, C, 2)
+    history = unpack_lms(lms[:, :, 0])  # (F_full, C, 4)
+    weights = unpack_lms(lms[:, :, 1])
+    state = np.empty((8, N), dtype=np.int32)
+    state[0:4, : F_full * C] = history.reshape(F_full * C, 4).T
+    state[4:8, : F_full * C] = weights.reshape(F_full * C, 4).T
+
+    # slice words: raw big-endian bytes, (F_full, W, C) -> (W, F*C)
+    words_be = np.zeros((W, N), dtype=np.uint64)
+    full = np.ascontiguousarray(
+        words8[:, 1 + 2 * C :].reshape(F_full, W, C).transpose(1, 0, 2)
+    ).view(np.uint64).reshape(W, F_full * C)
+    words_be[:, : F_full * C] = full
+
+    spf = np.full(F, spc0, dtype=np.int64)
+    if tail is not None:
+        state[0:4, F_full * C :] = tail.lms_history.T
+        state[4:8, F_full * C :] = tail.lms_weights.T
+        # tail.slice_words are logical u64; store raw big-endian
+        tw = tail.slice_words.astype(">u8").view(np.uint64)
+        words_be[: tail.n_windows, F_full * C :] = tw
+        spf[-1] = tail.samples_per_channel
+
+    return ParsedArrays(
+        total_samples=total_samples,
+        channels=C,
+        sample_rate=rate,
+        samples_per_frame=spf,
+        words_be=words_be,
+        state=state,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Frame building (encoder side)
 # ---------------------------------------------------------------------------
 

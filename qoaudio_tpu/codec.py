@@ -57,12 +57,26 @@ def _next_pow2(n: int) -> int:
 # Decode
 # ---------------------------------------------------------------------------
 
-def decode_all(data: bytes, backend: str = "jax") -> DecodedQoa:
+def decode_all(data: bytes, backend: str = "auto") -> DecodedQoa:
     """Decode a complete QOA stream.
 
-    Raises IncompatibleFrame if channels/sample-rate change mid-stream
-    (reference: src/lib.rs:735-739), NoSamples on an empty stream.
+    ``backend="auto"`` uses the native host engine when available (the
+    host/IO path — one shot, latency-bound), falling back to the batched
+    JAX device kernel.  Raises IncompatibleFrame if channels/sample-rate
+    change mid-stream (reference: src/lib.rs:735-739), NoSamples on an
+    empty stream.
     """
+    if backend in ("auto", "native"):
+        from . import native
+
+        if native.available():
+            out = _decode_all_native(data)
+            if out is not None:
+                return out
+        if backend == "native":
+            raise RuntimeError("native engine unavailable")
+        backend = "jax"
+
     parsed = bs.parse_file(data)
     if not parsed.frames:
         raise NoSamples()
@@ -104,7 +118,64 @@ def decode_all(data: bytes, backend: str = "jax") -> DecodedQoa:
     )
 
 
-def open_and_decode_all(path, backend: str = "jax") -> DecodedQoa:
+def _decode_all_native(data: bytes) -> DecodedQoa | None:
+    """One-shot decode on the native chain-vector engine.
+
+    Returns None when the stream needs the general frame walk (streaming
+    mode / non-uniform frames) — the caller falls back.
+    """
+    from . import native
+
+    pa = bs.parse_file_arrays(data)
+    if pa is None:
+        # general walk (still native kernels, frames stacked the slow way)
+        parsed = bs.parse_file(data)
+        if not parsed.frames:
+            raise NoSamples()
+        batch = bs.stack_frames(parsed.frames)
+        F, W, C = batch.sf.shape
+        words = bs.pack_slices(
+            batch.sf.astype(np.uint64), batch.codes.astype(np.uint64)
+        )  # (F, W, C) logical
+        words_be = (
+            np.ascontiguousarray(words.transpose(1, 0, 2))
+            .astype(">u8")
+            .view(np.uint64)
+            .reshape(W, F * C)
+        )
+        state = np.empty((8, F * C), np.int32)
+        state[0:4] = batch.history.reshape(F * C, 4).T
+        state[4:8] = batch.weights.reshape(F * C, 4).T
+        dec = native.decode_chains(words_be, state)
+        spf = batch.samples_per_frame
+        rate = batch.sample_rate
+    else:
+        F = pa.n_frames
+        C = pa.channels
+        dec = native.decode_chains(pa.words_be, pa.state)
+        spf = pa.samples_per_frame
+        rate = pa.sample_rate
+
+    if F == 0:
+        raise NoSamples()
+    W20 = dec.shape[0] * fmt.QOA_SLICE_LEN
+    if bool(np.all(spf[:-1] == W20)):
+        # uniform-except-last: transpose + trim fused in native code
+        total = int(spf.sum())
+        samples = native.interleave_trim(dec, F, C, total).reshape(-1)
+    else:
+        pcm = native.interleave_trim(dec, F, C, F * W20).reshape(F, W20, C)
+        samples = np.concatenate(
+            [pcm[i, : spf[i]] for i in range(F)]
+        ).reshape(-1)
+    return DecodedQoa(
+        num_channels=C,
+        sample_rate=rate,
+        samples=samples,
+    )
+
+
+def open_and_decode_all(path, backend: str = "auto") -> DecodedQoa:
     """Open a file and decode it (reference: src/lib.rs:750-754)."""
     with open(path, "rb") as f:
         return decode_all(f.read(), backend=backend)
@@ -113,6 +184,68 @@ def open_and_decode_all(path, backend: str = "jax") -> DecodedQoa:
 # ---------------------------------------------------------------------------
 # Encode
 # ---------------------------------------------------------------------------
+
+def _encode_all_native(sample_data, desc: QoaDesc) -> bytes:
+    """One-shot encode on the native 16-scalefactor-lane engine.
+
+    Zero staging copies (the kernel reads the interleaved PCM in place —
+    (W*20, C) row-major IS the interleaved layout; short final windows are
+    bounded by ``lens``, reference src/lib.rs:470,484-487), one native call
+    for all frames, and fully vectorized frame-byte assembly.
+    """
+    from . import native
+    from .ops.encode import initial_encoder_state
+
+    C = desc.channels
+    T = desc.samples
+    R = desc.sample_rate
+    pcm = np.ascontiguousarray(
+        np.asarray(sample_data, dtype=np.int16).reshape(T, C)
+    )
+    F = -(-T // fmt.QOA_FRAME_LEN)
+    WPF = fmt.QOA_SLICES_PER_FRAME
+    Wtot = F * WPF
+    n_windows_total = -(-T // fmt.QOA_SLICE_LEN)
+
+    lens = np.zeros(Wtot, np.int32)
+    lens[:n_windows_total] = fmt.QOA_SLICE_LEN
+    lens[n_windows_total - 1] = (
+        T - (n_windows_total - 1) * fmt.QOA_SLICE_LEN
+    )
+
+    state = np.ascontiguousarray(initial_encoder_state(C))
+    words, snaps = native.encode_file(pcm, lens, Wtot, WPF, state)
+    words = words.reshape(F, WPF, C)
+
+    # ---- vectorized frame assembly (headers + LMS words + slice words) ----
+    spf = np.full(F, fmt.QOA_FRAME_LEN, np.int64)
+    spf[-1] = T - (F - 1) * fmt.QOA_FRAME_LEN
+    nw = -(-spf // fmt.QOA_SLICE_LEN)  # windows per frame
+    fsize = fmt.QOA_HEADER_SIZE + 4 * fmt.QOA_LMS_LEN * C + 8 * nw * C
+    headers = (
+        (np.uint64(C) << np.uint64(56))
+        | (np.uint64(R) << np.uint64(32))
+        | (spf.astype(np.uint64) << np.uint64(16))
+        | fsize.astype(np.uint64)
+    )
+    hist_words = bs.pack_lms(snaps[:, 0:4].transpose(0, 2, 1))  # (F, C)
+    wt_words = bs.pack_lms(snaps[:, 4:8].transpose(0, 2, 1))
+    lms_inter = np.empty((F, 2 * C), np.uint64)
+    lms_inter[:, 0::2] = hist_words
+    lms_inter[:, 1::2] = wt_words
+
+    frame_words = 1 + 2 * C + WPF * C
+    blob = np.empty((F, frame_words), np.uint64)
+    blob[:, 0] = headers
+    blob[:, 1 : 1 + 2 * C] = lms_inter
+    blob[:, 1 + 2 * C :] = words.reshape(F, WPF * C)
+
+    out = [fmt.pack_file_header(T)]
+    if F > 1:
+        # all-but-last frames are full: one contiguous big-endian dump
+        out.append(blob[:-1].astype(">u8").tobytes())
+    out.append(blob[-1, : 1 + 2 * C + int(nw[-1]) * C].astype(">u8").tobytes())
+    return b"".join(out)
 
 def _validate_desc(desc: QoaDesc) -> None:
     if desc.channels == 0 or desc.channels > fmt.QOA_MAX_CHANNELS:
@@ -150,17 +283,29 @@ def layout_pcm(
 def encode_all(
     sample_data,
     desc: QoaDesc,
-    backend: str = "jax",
+    backend: str = "auto",
     chunk_frames: int = _DEFAULT_CHUNK_FRAMES,
 ) -> bytes:
     """One-shot encode of interleaved 16-bit PCM to QOA bytes.
 
     Bit-exact with the reference encoder (same search, same tie-breaks).
+    ``backend="auto"``: native host engine when available (the sequential
+    LMS chain of a single file is latency-bound — a host-path workload),
+    else the batched JAX device kernel.
     """
     _validate_desc(desc)
     sample_data = np.asarray(sample_data)
     if sample_data.size != desc.samples * desc.channels:
         raise InvalidSamples()
+
+    if backend in ("auto", "native"):
+        from . import native
+
+        if native.available():
+            return _encode_all_native(sample_data, desc)
+        if backend == "native":
+            raise RuntimeError("native engine unavailable")
+        backend = "jax"
 
     if backend == "numpy":
         from .reference import encode_all_py
@@ -171,7 +316,7 @@ def encode_all(
     if backend != "jax":
         raise ValueError(f"unknown backend {backend!r}")
 
-    from .ops.encode import encode_frames, initial_encoder_state
+    from .ops.encode import encode_frames, initial_encoder_state  # noqa: F811
 
     C = desc.channels
     T = desc.samples

@@ -1,0 +1,166 @@
+"""Native host-runtime engine: build-on-demand C++ kernels via ctypes.
+
+The TPU device kernels (ops/) own the batched HBM-resident deployment
+path; this module owns the host/IO path (streaming objects, one-shot
+single-file transcode) where host<->device transfer latency dominates.
+See qoa_kernels.cpp for the kernel design notes.
+
+The shared library is compiled on first use with the local toolchain
+(g++ -O3 -march=native) and cached next to the source; everything
+degrades gracefully — ``available()`` returns False if no compiler or the
+build fails, and callers fall back to the numpy/JAX paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "qoa_kernels.cpp")
+_LIB_PATH = os.path.join(_HERE, "qoa_kernels.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_SLICE_LEN = 20
+
+
+def _build() -> Optional[str]:
+    """Compile the kernels; returns the .so path or None."""
+    if not os.path.exists(_SRC):
+        return None
+    if (
+        os.path.exists(_LIB_PATH)
+        and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+    ):
+        return _LIB_PATH
+    for flags in (["-O3", "-march=native"], ["-O2"]):
+        cmd = [
+            "g++", *flags, "-fno-strict-aliasing", "-shared", "-fPIC",
+            "-o", _LIB_PATH + ".tmp", _SRC,
+        ]
+        try:
+            r = subprocess.run(cmd, capture_output=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            return None
+        if r.returncode == 0:
+            os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
+            return _LIB_PATH
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        path = _build()
+        if path is None:
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _build_failed = True
+            return None
+        i64 = ctypes.c_int64
+        p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        p_u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.qoa_decode_chains.argtypes = [p_u64, p_i32, i64, i64, p_i16]
+        lib.qoa_decode_chains.restype = None
+        lib.qoa_interleave.argtypes = [p_i16, i64, i64, i64, i64, p_i16]
+        lib.qoa_interleave.restype = None
+        lib.qoa_encode_windows.argtypes = [p_i16, p_i32, i64, i64, p_i32, p_u64]
+        lib.qoa_encode_windows.restype = None
+        lib.qoa_encode_file.argtypes = [
+            p_i16, p_i32, i64, i64, i64, p_i32, p_u64, p_i32,
+        ]
+        lib.qoa_encode_file.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_chains(words_be: np.ndarray, state: np.ndarray) -> np.ndarray:
+    """Decode N chains -> (W, 20, N) int16 (untrimmed).
+
+    words_be: (W, N) uint64, raw BIG-ENDIAN slice words (zero padding ok).
+    state:    (8, N) int32 frame-start LMS.
+    """
+    lib = _load()
+    W, N = words_be.shape
+    words_be = np.ascontiguousarray(words_be, dtype=np.uint64)
+    state = np.ascontiguousarray(state, dtype=np.int32)
+    out = np.empty((W, _SLICE_LEN, N), dtype=np.int16)
+    lib.qoa_decode_chains(words_be, state, W, N, out)
+    return out
+
+
+def interleave_trim(decoded: np.ndarray, F: int, C: int, total: int) -> np.ndarray:
+    """(W, 20, F*C) chain layout -> (total, C) interleaved trimmed PCM.
+
+    ``total`` is the valid samples per channel; every frame must be full
+    except possibly the last (the fixed-mode layout).
+    """
+    lib = _load()
+    W = decoded.shape[0]
+    decoded = np.ascontiguousarray(decoded, dtype=np.int16)
+    out = np.empty((total, C), dtype=np.int16)
+    lib.qoa_interleave(decoded, W, F, C, total, out)
+    return out
+
+
+def encode_windows(
+    pcm: np.ndarray, lens: np.ndarray, W: int, state: np.ndarray
+) -> np.ndarray:
+    """Encode W windows of C channels; mutates ``state`` (8, C) in place.
+
+    pcm: (T, C) int16 interleaved samples — read IN PLACE, no staging copy
+         ((W*20, C) row-major is the interleaved layout); windows only read
+         up to lens[w] samples, so a short final window needs no padding.
+    lens: (W,) int32 valid samples per window (1..20).
+    Returns (W, C) uint64 slice words (native endianness).
+    """
+    lib = _load()
+    C = pcm.shape[1]
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    assert state.flags["C_CONTIGUOUS"] and state.dtype == np.int32
+    words = np.zeros((W, C), dtype=np.uint64)
+    lib.qoa_encode_windows(pcm, lens, W, C, state, words)
+    return words
+
+
+def encode_file(
+    pcm: np.ndarray, lens: np.ndarray, W: int, interval: int, state: np.ndarray
+):
+    """Encode a whole fixed-mode file's windows in one native call.
+
+    Returns (words (W, C) uint64, snaps (ceil(W/interval), 8, C) int32 —
+    the carried LMS at each frame start).  Mutates ``state`` in place.
+    """
+    lib = _load()
+    C = pcm.shape[1]
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    assert state.flags["C_CONTIGUOUS"] and state.dtype == np.int32
+    words = np.zeros((W, C), dtype=np.uint64)
+    n_snaps = -(-W // interval)
+    snaps = np.empty((n_snaps, 8, C), dtype=np.int32)
+    lib.qoa_encode_file(pcm, lens, W, C, interval, state, words, snaps)
+    return words, snaps

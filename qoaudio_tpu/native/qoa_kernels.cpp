@@ -1,0 +1,733 @@
+// Native host-runtime kernels for the qoaudio_tpu framework.
+//
+// Role in the architecture (SURVEY.md §1, layer L2): the TPU device path
+// (ops/decode.py, ops/encode.py) owns the batched HBM-resident deployment
+// shape; THIS module owns the host/IO path — streaming decoders, one-shot
+// single-file transcode — where per-call host<->device transfer latency
+// would dominate.  It mirrors the device kernels' *design*, not the
+// reference's scalar Rust (/root/reference/src/lib.rs):
+//
+//  * decode vectorizes across CHAINS (frames x channels): every QOA frame
+//    header carries a full LMS snapshot (src/lib.rs:271-281), so all
+//    frames decode in parallel — dense int32 lane loops the compiler maps
+//    onto AVX2/AVX-512.
+//  * encode vectorizes across the 16 SCALEFACTOR candidates of one chain:
+//    exactly one 512-bit int32 vector, written with GCC vector extensions
+//    (the same lanes-explicit style as the Pallas/JAX device kernel), then
+//    reduced with the lexicographic (total_rank, first_rank, sf) argmin
+//    proven equivalent to the reference's sequential early-exit search
+//    (SURVEY.md §3.3).
+//
+// All arithmetic wraps in two's complement (unsigned internally), matching
+// the reference's wrapping ops (src/lib.rs:606-617, 797-828).
+//
+// Build: g++ -O3 -march=native -shared -fPIC (see native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kSliceLen = 20;
+constexpr int kNumSf = 16;
+
+// scalefactor table: round(pow(sf+1, 2.75)) for sf in 0..15
+constexpr int32_t kSfTab[kNumSf] = {
+    1, 7, 21, 45, 84, 138, 211, 304, 421, 562, 731, 928, 1157, 1419, 1715, 2048};
+
+// fixed-point reciprocals: (1<<16 + v - 1) / v over kSfTab
+constexpr int32_t kRecipTab[kNumSf] = {
+    65536, 9363, 3121, 1457, 781, 475, 311, 216, 156, 117, 90, 71, 57, 47, 39, 32};
+
+inline int32_t clamp_i16(int32_t v) {
+  return v < -32768 ? -32768 : (v > 32767 ? 32767 : v);
+}
+
+// dequant magnitudes: round-ties-away of sfv * {0.75, 2.5, 4.5, 7}
+inline constexpr int32_t mag0(int32_t v) { return (3 * v + 2) >> 2; }
+inline constexpr int32_t mag1(int32_t v) { return (5 * v + 1) >> 1; }
+inline constexpr int32_t mag2(int32_t v) { return (9 * v + 1) >> 1; }
+inline constexpr int32_t mag3(int32_t v) { return 7 * v; }
+
+inline uint64_t bswap64(uint64_t v) { return __builtin_bswap64(v); }
+
+// ---------------------------------------------------------------------------
+// 16-lane int32 vectors (GCC vector extensions): one lane per scalefactor.
+// ---------------------------------------------------------------------------
+typedef int32_t v16i __attribute__((vector_size(64)));
+typedef uint32_t v16u __attribute__((vector_size(64)));
+
+// select a where mask (-1) else b
+inline v16i vsel(v16i m, v16i a, v16i b) { return (a & m) | (b & ~m); }
+inline v16u vselu(v16i m, v16u a, v16u b) {
+  return (a & (v16u)m) | (b & ~(v16u)m);
+}
+
+inline v16i vbroadcast(int32_t s) { return v16i{} + s; }
+
+#define V16_FROM_TABLE(expr)                                                  \
+  v16i{expr(kSfTab[0]),  expr(kSfTab[1]),  expr(kSfTab[2]),  expr(kSfTab[3]), \
+       expr(kSfTab[4]),  expr(kSfTab[5]),  expr(kSfTab[6]),  expr(kSfTab[7]), \
+       expr(kSfTab[8]),  expr(kSfTab[9]),  expr(kSfTab[10]), expr(kSfTab[11]),\
+       expr(kSfTab[12]), expr(kSfTab[13]), expr(kSfTab[14]), expr(kSfTab[15])}
+
+// 3-bit quantizer as a 17-entry LUT over clamped+8 (one vpermi2d):
+// negative residuals -> odd codes (magnitude capped 7), else even capped 6
+const v16i kQuantLo = {7, 7, 7, 5, 5, 3, 3, 1, 0, 0, 2, 2, 4, 4, 6, 6};
+const v16i kQuantHi = {6, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+
+const v16i kMag0V = V16_FROM_TABLE(mag0);
+const v16i kMag1V = V16_FROM_TABLE(mag1);
+const v16i kMag2V = V16_FROM_TABLE(mag2);
+const v16i kMag3V = V16_FROM_TABLE(mag3);
+const v16i kRecipV = {65536, 9363, 3121, 1457, 781, 475, 311, 216,
+                      156,   117,  90,   71,   57,  47,  39,  32};
+const v16u kSfBitsV = {0u << 28,  1u << 28,  2u << 28,  3u << 28,
+                       4u << 28,  5u << 28,  6u << 28,  7u << 28,
+                       8u << 28,  9u << 28,  10u << 28, 11u << 28,
+                       12u << 28, 13u << 28, 14u << 28, 15u << 28};
+
+// dense int32 lane loop of the decoder, isolated so __restrict__ params are
+// honored and the compiler vectorizes without alias versioning
+void decode_lane_step(int64_t N, const int32_t* __restrict__ ck,
+                      const int32_t* __restrict__ m0,
+                      const int32_t* __restrict__ m1,
+                      const int32_t* __restrict__ m2,
+                      const int32_t* __restrict__ m3,
+                      int32_t* __restrict__ H0, int32_t* __restrict__ H1,
+                      int32_t* __restrict__ H2, int32_t* __restrict__ H3,
+                      int32_t* __restrict__ W0, int32_t* __restrict__ W1,
+                      int32_t* __restrict__ W2, int32_t* __restrict__ W3,
+                      int16_t* __restrict__ o) {
+#pragma GCC ivdep
+  for (int64_t n = 0; n < N; ++n) {
+    int32_t p = (int32_t)((uint32_t)W0[n] * (uint32_t)H0[n] +
+                          (uint32_t)W1[n] * (uint32_t)H1[n] +
+                          (uint32_t)W2[n] * (uint32_t)H2[n] +
+                          (uint32_t)W3[n] * (uint32_t)H3[n]) >> 13;
+    int32_t code = ck[n];
+    int32_t idx = code >> 1;
+    int32_t m01 = idx == 0 ? m0[n] : m1[n];
+    int32_t m23 = idx == 2 ? m2[n] : m3[n];
+    int32_t m = idx < 2 ? m01 : m23;
+    int32_t dq = (code & 1) ? -m : m;
+    int32_t r = clamp_i16(p + dq);
+    o[n] = static_cast<int16_t>(r);
+    int32_t d = dq >> 4;
+    W0[n] = (int32_t)((uint32_t)W0[n] + (uint32_t)(H0[n] < 0 ? -d : d));
+    W1[n] = (int32_t)((uint32_t)W1[n] + (uint32_t)(H1[n] < 0 ? -d : d));
+    W2[n] = (int32_t)((uint32_t)W2[n] + (uint32_t)(H2[n] < 0 ? -d : d));
+    W3[n] = (int32_t)((uint32_t)W3[n] + (uint32_t)(H3[n] < 0 ? -d : d));
+    H0[n] = H1[n];
+    H1[n] = H2[n];
+    H2[n] = H3[n];
+    H3[n] = r;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Cache-blocked transpose with tail trim: chains (t, f) -> frames (f, t).
+// One "element" is a whole C-channel sample group (2C bytes), so E is
+// uint16/uint32/uint64/16-byte for C = 1/2/4/8.
+// ---------------------------------------------------------------------------
+struct alignas(4) E16 {
+  uint64_t a, b;
+};
+
+template <typename E>
+static void transpose_trim(const E* __restrict__ in, int64_t rows, int64_t F,
+                           int64_t total, E* __restrict__ out) {
+  constexpr int64_t B = 64;
+  for (int64_t t0 = 0; t0 < rows; t0 += B) {
+    const int64_t t1 = t0 + B < rows ? t0 + B : rows;
+    for (int64_t f = 0; f < F; ++f) {
+      const int64_t left = total - f * rows;  // valid samples this frame
+      if (left <= t0) continue;
+      const int64_t te = t1 < left ? t1 : left;
+      E* __restrict__ dst = out + f * rows;
+      const E* __restrict__ src = in + f;
+      for (int64_t t = t0; t < te; ++t) dst[t] = src[t * F];
+    }
+  }
+}
+
+// scalar fallback for C not in {1, 2, 4, 8}
+static void transpose_trim_generic(const int16_t* in, int64_t rows, int64_t F,
+                                   int64_t C, int64_t total, int16_t* out) {
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t left = total - f * rows;
+    const int64_t te = rows < left ? rows : left;
+    int16_t* dst = out + f * rows * C;
+    const int16_t* src = in + f * C;
+    for (int64_t t = 0; t < te; ++t)
+      for (int64_t c = 0; c < C; ++c) dst[t * C + c] = src[t * F * C + c];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Decode: N independent chains, vectorized ACROSS the chain axis.
+//
+//   words_be: (W, N) big-endian u64 slice words (word of chain n, window w
+//             at words_be[w*N + n]); padded windows must be 0.
+//   state:    (8, N) int32 — rows 0-3 history, rows 4-7 weights (frame-
+//             start LMS snapshots, one per chain).
+//   out:      (W, 20, N) int16 — all 20 samples of every window (callers
+//             trim short tails, like the reference src/lib.rs:320-328).
+// ---------------------------------------------------------------------------
+void qoa_decode_chains(const uint64_t* words_be, const int32_t* state,
+                       int64_t W, int64_t N, int16_t* out) {
+  int32_t* buf = new int32_t[(12 + kSliceLen) * N];
+  int32_t* H0 = buf + 0 * N;
+  int32_t* H1 = buf + 1 * N;
+  int32_t* H2 = buf + 2 * N;
+  int32_t* H3 = buf + 3 * N;
+  int32_t* W0 = buf + 4 * N;
+  int32_t* W1 = buf + 5 * N;
+  int32_t* W2 = buf + 6 * N;
+  int32_t* W3 = buf + 7 * N;
+  int32_t* m0 = buf + 8 * N;
+  int32_t* m1 = buf + 9 * N;
+  int32_t* m2 = buf + 10 * N;
+  int32_t* m3 = buf + 11 * N;
+  int32_t* codes = buf + 12 * N;  // (20, N) plane, refilled per window
+  std::memcpy(buf, state, sizeof(int32_t) * 8 * N);
+
+  for (int64_t w = 0; w < W; ++w) {
+    const uint64_t* row = words_be + w * N;
+    // u64 word -> int32 planes: dequant magnitudes + the 20 codes
+    for (int64_t n = 0; n < N; ++n) {
+      uint64_t v = bswap64(row[n]);
+      int32_t sfv = kSfTab[v >> 60];
+      m0[n] = mag0(sfv);
+      m1[n] = mag1(sfv);
+      m2[n] = mag2(sfv);
+      m3[n] = mag3(sfv);
+      for (int k = 0; k < kSliceLen; ++k)
+        codes[k * N + n] = static_cast<int32_t>((v >> (57 - 3 * k)) & 7);
+    }
+    for (int k = 0; k < kSliceLen; ++k)
+      decode_lane_step(N, codes + k * N, m0, m1, m2, m3, H0, H1, H2, H3, W0,
+                       W1, W2, W3, out + (w * kSliceLen + k) * N);
+  }
+  delete[] buf;
+}
+
+// ---------------------------------------------------------------------------
+// Transpose decoded chains to interleaved, TRIMMED PCM.
+//
+//   in:    (W, 20, N) int16 with N = F*C (chain n = frame f, channel c)
+//   total: total valid samples per channel (every frame is full except
+//          possibly the last — the fixed-mode layout)
+//   out:   (total, C) int16 interleaved PCM
+//
+// Cache-blocked: the naive frame-major walk strides F*C*2 bytes per read
+// (a fresh cache line per sample); blocking on the time axis reuses lines.
+// ---------------------------------------------------------------------------
+void qoa_interleave(const int16_t* in, int64_t W, int64_t F, int64_t C,
+                    int64_t total, int16_t* out) {
+  const int64_t rows = W * kSliceLen;  // samples per (full) frame
+  switch (C) {
+    case 1:
+      transpose_trim(reinterpret_cast<const uint16_t*>(in), rows, F, total,
+                     reinterpret_cast<uint16_t*>(out));
+      break;
+    case 2:
+      transpose_trim(reinterpret_cast<const uint32_t*>(in), rows, F, total,
+                     reinterpret_cast<uint32_t*>(out));
+      break;
+    case 4:
+      transpose_trim(reinterpret_cast<const uint64_t*>(in), rows, F, total,
+                     reinterpret_cast<uint64_t*>(out));
+      break;
+    case 8:
+      transpose_trim(reinterpret_cast<const E16*>(in), rows, F, total,
+                     reinterpret_cast<E16*>(out));
+      break;
+    default:
+      transpose_trim_generic(in, rows, F, C, total, out);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Encode: all 16 scalefactor candidates evaluate as vector lanes, with a
+// first-sample pruned continuation.  Bit-identical to the reference's
+// sequential sorted-order early-exit search (SURVEY.md §3.3 proof):
+// winner = lexicographic argmin (total_rank, first_rank, sf).
+//
+// Search structure (the vector analog of the reference's pruning):
+//  1. sample 0 evaluates on all 16 lanes (one 512-bit step);
+//  2. lanes sort by (first_rank, sf); only the best FOUR continue through
+//     samples 1..len-1 — 4 lanes per channel, so a stereo window's whole
+//     continuation runs on ONE 256-bit vector;
+//  3. a lane s outside the four can only win if first_s < best4_total
+//     (rank accumulation is monotone; ties resolve to the lower sf, which
+//     is in the four by construction).  If any such lane exists — never
+//     observed on real audio, possible adversarially — fall back to the
+//     full 16-lane continuation for that channel.  Either way the result
+//     is exact.
+// ---------------------------------------------------------------------------
+}  // extern "C"
+
+namespace {
+
+int64_t g_fallback_count = 0;
+
+typedef int32_t v8i __attribute__((vector_size(32)));
+typedef uint32_t v8u __attribute__((vector_size(32)));
+
+inline v8i v8bcast(int32_t s) { return v8i{} + s; }
+
+// 16-entry quant LUT for the 8-lane path: QUANT_TAB[15] == QUANT_TAB[16],
+// so min(clamped+8, 15) indexes a single 16-entry two-source shuffle.
+const v8i kQuantA = {7, 7, 7, 5, 5, 3, 3, 1};
+const v8i kQuantB = {0, 0, 2, 2, 4, 4, 6, 6};
+
+// full-width (16 sf lanes) state for one channel
+struct Full16 {
+  v16i H0, H1, H2, H3, W0, W1, W2, W3;
+  v16u rank_lo, rank_hi, word_hi, word_lo;
+};
+
+// One sample step on all 16 sf lanes.  k is the sample index within the
+// window (word bit positions depend on it).
+__attribute__((always_inline)) inline void step16(Full16& S, int32_t sample_s, int k) {
+  const v16i kZero = vbroadcast(0);
+  const v16i kOne = vbroadcast(1);
+  const v16i sample = vbroadcast(sample_s);
+  v16i p = (v16i)((v16u)S.W0 * (v16u)S.H0 + (v16u)S.W1 * (v16u)S.H1 +
+                  (v16u)S.W2 * (v16u)S.H2 + (v16u)S.W3 * (v16u)S.H3) >> 13;
+  v16i ssum = (v16i)((v16u)S.W0 * (v16u)S.W0 + (v16u)S.W1 * (v16u)S.W1 +
+                     (v16u)S.W2 * (v16u)S.W2 + (v16u)S.W3 * (v16u)S.W3);
+  v16i pen = (ssum >> 18) - 0x8FF;
+  pen = pen < kZero ? kZero : pen;
+  v16i residual = (v16i)((v16u)sample - (v16u)p);
+  v16i nr = (v16i)((v16u)residual * (v16u)kRecipV + (1u << 15)) >> 16;
+  v16i sgn_r = (residual < kZero) - (residual > kZero);
+  v16i sgn_n = (nr < kZero) - (nr > kZero);
+  v16i scaled = nr + sgn_r - sgn_n;
+  scaled = scaled < vbroadcast(-8) ? vbroadcast(-8) : scaled;
+  scaled = scaled > vbroadcast(8) ? vbroadcast(8) : scaled;
+  v16i q = __builtin_shuffle(kQuantLo, kQuantHi, scaled + vbroadcast(8));
+  v16i idx = q >> 1;
+  v16i m01 = idx == kZero ? kMag0V : kMag1V;
+  v16i m23 = idx == vbroadcast(2) ? kMag2V : kMag3V;
+  v16i m = idx < vbroadcast(2) ? m01 : m23;
+  v16i dq = (q & kOne) == kOne ? kZero - m : m;
+  v16i r = (v16i)((v16u)p + (v16u)dq);
+  r = r < vbroadcast(-32768) ? vbroadcast(-32768) : r;
+  r = r > vbroadcast(32767) ? vbroadcast(32767) : r;
+  v16u err = (v16u)sample - (v16u)r;
+  v16u err_sq = err * err;
+  v16u pen_sq = (v16u)pen * (v16u)pen;
+  v16u lo1 = S.rank_lo + err_sq;
+  S.rank_hi -= (v16u)(lo1 < S.rank_lo);
+  v16u lo2 = lo1 + pen_sq;
+  S.rank_hi -= (v16u)(lo2 < lo1);
+  S.rank_lo = lo2;
+  v16u qa = (v16u)q;
+  if (k <= 8) {
+    S.word_hi |= qa << (25 - 3 * k);
+  } else if (k == 9) {
+    S.word_hi |= qa >> 2;
+    S.word_lo |= (qa & 3) << 30;
+  } else {
+    S.word_lo |= qa << (57 - 3 * k);
+  }
+  v16i d = dq >> 4;
+  v16i nd = kZero - d;
+  S.W0 = (v16i)((v16u)S.W0 + (v16u)(S.H0 < kZero ? nd : d));
+  S.W1 = (v16i)((v16u)S.W1 + (v16u)(S.H1 < kZero ? nd : d));
+  S.W2 = (v16i)((v16u)S.W2 + (v16u)(S.H2 < kZero ? nd : d));
+  S.W3 = (v16i)((v16u)S.W3 + (v16u)(S.H3 < kZero ? nd : d));
+  S.H0 = S.H1;
+  S.H1 = S.H2;
+  S.H2 = S.H3;
+  S.H3 = r;
+}
+
+// Continuation state: the top-8 surviving scalefactor candidates of TWO
+// channels packed into ONE full-width vector (lanes 0-7 = channel a,
+// lanes 8-15 = channel b), with per-lane gathered constants.  Full-width
+// packing matters: integer vector ops cost the same per instruction at
+// 256 and 512 bits here, so throughput comes from fewer vectors, not
+// narrower ones.
+struct Cont16 {
+  v16i H0, H1, H2, H3, W0, W1, W2, W3;
+  v16i recip, M0, M1, M2, M3;
+  v16u rank_lo, rank_hi, word_hi, word_lo;
+};
+
+__attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
+                                                   int k) {
+  const v16i kZero = vbroadcast(0);
+  const v16i kOne = vbroadcast(1);
+  v16i p = (v16i)((v16u)S.W0 * (v16u)S.H0 + (v16u)S.W1 * (v16u)S.H1 +
+                  (v16u)S.W2 * (v16u)S.H2 + (v16u)S.W3 * (v16u)S.H3) >> 13;
+  v16i ssum = (v16i)((v16u)S.W0 * (v16u)S.W0 + (v16u)S.W1 * (v16u)S.W1 +
+                     (v16u)S.W2 * (v16u)S.W2 + (v16u)S.W3 * (v16u)S.W3);
+  v16i pen = (ssum >> 18) - 0x8FF;
+  pen = pen < kZero ? kZero : pen;
+  v16i residual = (v16i)((v16u)sample - (v16u)p);
+  v16i nr = (v16i)((v16u)residual * (v16u)S.recip + (1u << 15)) >> 16;
+  v16i sgn_r = (residual < kZero) - (residual > kZero);
+  v16i sgn_n = (nr < kZero) - (nr > kZero);
+  v16i scaled = nr + sgn_r - sgn_n;
+  scaled = scaled < vbroadcast(-8) ? vbroadcast(-8) : scaled;
+  scaled = scaled > vbroadcast(8) ? vbroadcast(8) : scaled;
+  v16i q = __builtin_shuffle(kQuantLo, kQuantHi, scaled + vbroadcast(8));
+  v16i idx = q >> 1;
+  v16i m01 = idx == kZero ? S.M0 : S.M1;
+  v16i m23 = idx == vbroadcast(2) ? S.M2 : S.M3;
+  v16i m = idx < vbroadcast(2) ? m01 : m23;
+  v16i dq = (q & kOne) == kOne ? kZero - m : m;
+  v16i r = (v16i)((v16u)p + (v16u)dq);
+  r = r < vbroadcast(-32768) ? vbroadcast(-32768) : r;
+  r = r > vbroadcast(32767) ? vbroadcast(32767) : r;
+  v16u err = (v16u)sample - (v16u)r;
+  v16u err_sq = err * err;
+  v16u pen_sq = (v16u)pen * (v16u)pen;
+  v16u lo1 = S.rank_lo + err_sq;
+  S.rank_hi -= (v16u)(lo1 < S.rank_lo);
+  v16u lo2 = lo1 + pen_sq;
+  S.rank_hi -= (v16u)(lo2 < lo1);
+  S.rank_lo = lo2;
+  v16u qa = (v16u)q;
+  if (k <= 8) {
+    S.word_hi |= qa << (25 - 3 * k);
+  } else if (k == 9) {
+    S.word_hi |= qa >> 2;
+    S.word_lo |= (qa & 3) << 30;
+  } else {
+    S.word_lo |= qa << (57 - 3 * k);
+  }
+  v16i d = dq >> 4;
+  v16i nd = kZero - d;
+  S.W0 = (v16i)((v16u)S.W0 + (v16u)(S.H0 < kZero ? nd : d));
+  S.W1 = (v16i)((v16u)S.W1 + (v16u)(S.H1 < kZero ? nd : d));
+  S.W2 = (v16i)((v16u)S.W2 + (v16u)(S.H2 < kZero ? nd : d));
+  S.W3 = (v16i)((v16u)S.W3 + (v16u)(S.H3 < kZero ? nd : d));
+  S.H0 = S.H1;
+  S.H1 = S.H2;
+  S.H2 = S.H3;
+  S.H3 = r;
+}
+
+// Branchless 16-element sort (Batcher odd-even merge network, 63
+// compare-exchanges on cmov-friendly u64 keys).  An insertion sort here
+// costs ~15 branch mispredicts per window-channel — measured 30 ms on the
+// fixture encode, a quarter of the whole kernel.
+inline void sort16_network(uint64_t* k) {
+  static constexpr uint8_t net[63][2] = {
+      {0, 1},   {2, 3},   {0, 2},   {1, 3},   {1, 2},   {4, 5},   {6, 7},
+      {4, 6},   {5, 7},   {5, 6},   {0, 4},   {2, 6},   {2, 4},   {1, 5},
+      {3, 7},   {3, 5},   {1, 2},   {3, 4},   {5, 6},   {8, 9},   {10, 11},
+      {8, 10},  {9, 11},  {9, 10},  {12, 13}, {14, 15}, {12, 14}, {13, 15},
+      {13, 14}, {8, 12},  {10, 14}, {10, 12}, {9, 13},  {11, 15}, {11, 13},
+      {9, 10},  {11, 12}, {13, 14}, {0, 8},   {4, 12},  {4, 8},   {2, 10},
+      {6, 14},  {6, 10},  {2, 4},   {6, 8},   {10, 12}, {1, 9},   {5, 13},
+      {5, 9},   {3, 11},  {7, 15},  {7, 11},  {3, 5},   {7, 9},   {11, 13},
+      {1, 2},   {3, 4},   {5, 6},   {7, 8},   {9, 10},  {11, 12}, {13, 14},
+  };
+  for (auto& p : net) {
+    uint64_t a = k[p[0]], b = k[p[1]];
+    uint64_t lo = a < b ? a : b;
+    uint64_t hi = a < b ? b : a;
+    k[p[0]] = lo;
+    k[p[1]] = hi;
+  }
+}
+
+// one straggler scalefactor lane, scalar, with early abandon vs the bound
+struct ScalarLane {
+  int32_t h0, h1, h2, h3, w0, w1, w2, w3;
+  uint64_t rank;
+  uint64_t word;
+};
+
+inline int32_t wrap_mul(int32_t a, int32_t b) {
+  return (int32_t)((uint32_t)a * (uint32_t)b);
+}
+
+// continue lane `sf` from its post-sample-0 state through samples 1..len-1;
+// returns false if abandoned (rank strictly exceeded the bound — it can no
+// longer win, rank accumulation being monotone)
+inline bool eval_lane_tail(const int16_t* xw, int C, int c, int len, int sf,
+                           ScalarLane& L, uint64_t bound) {
+  const int32_t recip = kRecipTab[sf];
+  const int32_t sv = kSfTab[sf];
+  const int32_t M[4] = {mag0(sv), mag1(sv), mag2(sv), mag3(sv)};
+  for (int k = 1; k < len; ++k) {
+    const int32_t sample = xw[k * C + c];
+    int32_t p = (int32_t)((uint32_t)L.w0 * (uint32_t)L.h0 +
+                          (uint32_t)L.w1 * (uint32_t)L.h1 +
+                          (uint32_t)L.w2 * (uint32_t)L.h2 +
+                          (uint32_t)L.w3 * (uint32_t)L.h3) >> 13;
+    int32_t ssum = (int32_t)((uint32_t)L.w0 * (uint32_t)L.w0 +
+                             (uint32_t)L.w1 * (uint32_t)L.w1 +
+                             (uint32_t)L.w2 * (uint32_t)L.w2 +
+                             (uint32_t)L.w3 * (uint32_t)L.w3);
+    int32_t pen = (ssum >> 18) - 0x8FF;
+    pen = pen < 0 ? 0 : pen;
+    int32_t residual = (int32_t)((uint32_t)sample - (uint32_t)p);
+    int32_t nr = (int32_t)((uint32_t)wrap_mul(residual, recip) + (1u << 15)) >> 16;
+    int32_t scaled = nr + ((residual > 0) - (residual < 0)) - ((nr > 0) - (nr < 0));
+    scaled = scaled < -8 ? -8 : (scaled > 8 ? 8 : scaled);
+    int32_t qneg = (((-scaled) >> 1) << 1) + 1;
+    qneg = qneg > 7 ? 7 : qneg;
+    int32_t qpos = (scaled >> 1) << 1;
+    qpos = qpos > 6 ? 6 : qpos;
+    int32_t q = scaled < 0 ? qneg : qpos;
+    int32_t idx = q >> 1;
+    int32_t dq = (q & 1) ? -M[idx] : M[idx];
+    int32_t r = clamp_i16(p + dq);
+    int64_t err = (int64_t)sample - r;
+    L.rank += (uint64_t)(err * err) + (uint64_t)((int64_t)pen * pen);
+    if (L.rank > bound) return false;
+    L.word |= (uint64_t)q << (57 - 3 * k);
+    int32_t d = dq >> 4;
+    L.w0 = (int32_t)((uint32_t)L.w0 + (uint32_t)(L.h0 < 0 ? -d : d));
+    L.w1 = (int32_t)((uint32_t)L.w1 + (uint32_t)(L.h1 < 0 ? -d : d));
+    L.w2 = (int32_t)((uint32_t)L.w2 + (uint32_t)(L.h2 < 0 ? -d : d));
+    L.w3 = (int32_t)((uint32_t)L.w3 + (uint32_t)(L.h3 < 0 ? -d : d));
+    L.h0 = L.h1;
+    L.h1 = L.h2;
+    L.h2 = L.h3;
+    L.h3 = r;
+  }
+  return true;
+}
+
+template <int C>
+void encode_windows_c(const int16_t* __restrict__ x,
+                      const int32_t* __restrict__ lens, int64_t W,
+                      int32_t* __restrict__ state,
+                      uint64_t* __restrict__ words) {
+  constexpr int NV = (C + 1) / 2;  // continuation vectors: 2 channels each
+  Full16 F[C];
+  uint64_t firsts[C][kNumSf];
+  int order[C][kNumSf];
+
+  for (int64_t w = 0; w < W; ++w) {
+    const int len = lens[w];
+    if (len <= 0) continue;
+    const int16_t* xw = x + w * kSliceLen * C;
+
+    // ---- sample 0 on all 16 lanes, every channel ----
+    for (int c = 0; c < C; ++c) {
+      Full16& S = F[c];
+      S.H0 = vbroadcast(state[0 * C + c]);
+      S.H1 = vbroadcast(state[1 * C + c]);
+      S.H2 = vbroadcast(state[2 * C + c]);
+      S.H3 = vbroadcast(state[3 * C + c]);
+      S.W0 = vbroadcast(state[4 * C + c]);
+      S.W1 = vbroadcast(state[5 * C + c]);
+      S.W2 = vbroadcast(state[6 * C + c]);
+      S.W3 = vbroadcast(state[7 * C + c]);
+      S.rank_lo = v16u{};
+      S.rank_hi = v16u{};
+      S.word_hi = kSfBitsV;
+      S.word_lo = v16u{};
+      step16(S, xw[c], 0);
+      // sort lanes by (first_rank, sf): pack the key as (first << 4) | sf
+      // (first < 2^37 — one sample's err^2 + pen^2 — so the pack is exact)
+      // and run the branchless network
+      uint64_t keys[kNumSf];
+      for (int s = 0; s < kNumSf; ++s) {
+        firsts[c][s] = (uint64_t(S.rank_hi[s]) << 32) | S.rank_lo[s];
+        keys[s] = (firsts[c][s] << 4) | uint64_t(s);
+      }
+      sort16_network(keys);
+      for (int j = 0; j < kNumSf; ++j) order[c][j] = int(keys[j] & 15);
+    }
+
+    // ---- gather the top-8 survivors of channel pairs into full vectors
+    //      (one two-source vpermi2d per value) ----
+    Cont16 K[NV];
+    for (int v = 0; v < NV; ++v) {
+      Cont16& S = K[v];
+      const int ca = 2 * v;
+      const int cb = (2 * v + 1 < C) ? 2 * v + 1 : ca;
+      v16i idx;
+      v16i sfv;
+      for (int l = 0; l < 8; ++l) {
+        idx[l] = order[ca][l];
+        idx[l + 8] = 16 + order[cb][l];
+        sfv[l] = order[ca][l];
+        sfv[l + 8] = order[cb][l];
+      }
+      const Full16& A = F[ca];
+      const Full16& B = F[cb];
+      S.H0 = __builtin_shuffle(A.H0, B.H0, idx);
+      S.H1 = __builtin_shuffle(A.H1, B.H1, idx);
+      S.H2 = __builtin_shuffle(A.H2, B.H2, idx);
+      S.H3 = __builtin_shuffle(A.H3, B.H3, idx);
+      S.W0 = __builtin_shuffle(A.W0, B.W0, idx);
+      S.W1 = __builtin_shuffle(A.W1, B.W1, idx);
+      S.W2 = __builtin_shuffle(A.W2, B.W2, idx);
+      S.W3 = __builtin_shuffle(A.W3, B.W3, idx);
+      S.rank_lo = (v16u)__builtin_shuffle((v16i)A.rank_lo, (v16i)B.rank_lo, idx);
+      S.rank_hi = (v16u)__builtin_shuffle((v16i)A.rank_hi, (v16i)B.rank_hi, idx);
+      S.word_hi = (v16u)__builtin_shuffle((v16i)A.word_hi, (v16i)B.word_hi, idx);
+      S.word_lo = (v16u)__builtin_shuffle((v16i)A.word_lo, (v16i)B.word_lo, idx);
+      S.recip = __builtin_shuffle(kRecipV, sfv);
+      S.M0 = __builtin_shuffle(kMag0V, sfv);
+      S.M1 = __builtin_shuffle(kMag1V, sfv);
+      S.M2 = __builtin_shuffle(kMag2V, sfv);
+      S.M3 = __builtin_shuffle(kMag3V, sfv);
+    }
+
+    // ---- continuation: samples 1..len-1, top-8 lanes per channel ----
+    for (int k = 1; k < len; ++k) {
+      const int16_t* xp = xw + k * C;
+      for (int v = 0; v < NV; ++v) {
+        const int32_t sa = xp[2 * v];
+        const int32_t sb = xp[2 * v + 1 < C ? 2 * v + 1 : 2 * v];
+        v16i sample = {sa, sa, sa, sa, sa, sa, sa, sa,
+                       sb, sb, sb, sb, sb, sb, sb, sb};
+        step16g(K[v], sample, k);
+      }
+    }
+
+    // ---- per channel: pick winner among survivors, then stragglers ----
+    for (int c = 0; c < C; ++c) {
+      const Cont16& S = K[c / 2];
+      const int base = (c & 1) ? 8 : 0;
+      int bj = 0;
+      uint64_t b_total = 0, b_first = 0;
+      int b_sf = 0;
+      for (int j = 0; j < 8; ++j) {
+        const int l = base + j;
+        const uint64_t total = (uint64_t(S.rank_hi[l]) << 32) | S.rank_lo[l];
+        const int sf = order[c][j];
+        const uint64_t first = firsts[c][sf];
+        if (j == 0 || total < b_total ||
+            (total == b_total &&
+             (first < b_first || (first == b_first && sf < b_sf)))) {
+          bj = j;
+          b_total = total;
+          b_first = first;
+          b_sf = sf;
+        }
+      }
+      // materialize the survivors' best as the running winner
+      ScalarLane B;
+      {
+        const int l = base + bj;
+        B.h0 = S.H0[l];
+        B.h1 = S.H1[l];
+        B.h2 = S.H2[l];
+        B.h3 = S.H3[l];
+        B.w0 = S.W0[l];
+        B.w1 = S.W1[l];
+        B.w2 = S.W2[l];
+        B.w3 = S.W3[l];
+        B.rank = b_total;
+        B.word =
+            (uint64_t((uint32_t)S.word_hi[l]) << 32) | (uint32_t)S.word_lo[l];
+      }
+
+      // Stragglers: a pruned lane can win only if its first-sample rank is
+      // strictly below the winner's total (rank accumulation is monotone;
+      // on full ties the lower sf — among the survivors — wins).  The few
+      // that qualify evaluate SCALAR with early abandon against the exact
+      // bound, in ascending-first order, exactly like the reference's
+      // sorted search (src/lib.rs:544-593) but with a near-optimal bound
+      // from the start.
+      for (int j = 8; j < kNumSf; ++j) {
+        const int s = order[c][j];
+        const uint64_t fs = firsts[c][s];
+        if (fs >= b_total) break;  // ascending firsts: all later prune too
+        ++g_fallback_count;
+        const Full16& G = F[c];
+        ScalarLane L;
+        L.h0 = G.H0[s];
+        L.h1 = G.H1[s];
+        L.h2 = G.H2[s];
+        L.h3 = G.H3[s];
+        L.w0 = G.W0[s];
+        L.w1 = G.W1[s];
+        L.w2 = G.W2[s];
+        L.w3 = G.W3[s];
+        L.rank = fs;
+        L.word = (uint64_t(G.word_hi[s]) << 32) | uint64_t(G.word_lo[s]);
+        if (!eval_lane_tail(xw, C, c, len, s, L, b_total)) continue;
+        if (L.rank < b_total ||
+            (L.rank == b_total &&
+             (fs < b_first || (fs == b_first && s < b_sf)))) {
+          B = L;
+          b_total = L.rank;
+          b_first = fs;
+          b_sf = s;
+        }
+      }
+
+      words[w * C + c] = B.word;
+      state[0 * C + c] = B.h0;
+      state[1 * C + c] = B.h1;
+      state[2 * C + c] = B.h2;
+      state[3 * C + c] = B.h3;
+      state[4 * C + c] = B.w0;
+      state[5 * C + c] = B.w1;
+      state[6 * C + c] = B.w2;
+      state[7 * C + c] = B.w3;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t qoa_encode_fallbacks(void) { return g_fallback_count; }
+
+// x: (W, 20, C) int16 zero-padded; lens: (W,) int32 valid samples/window;
+// state: (8, C) int32 in/out carried LMS; words: (W, C) u64 out.
+void qoa_encode_windows(const int16_t* x, const int32_t* lens, int64_t W,
+                        int64_t C, int32_t* state, uint64_t* words) {
+  switch (C) {
+    case 1: encode_windows_c<1>(x, lens, W, state, words); break;
+    case 2: encode_windows_c<2>(x, lens, W, state, words); break;
+    case 3: encode_windows_c<3>(x, lens, W, state, words); break;
+    case 4: encode_windows_c<4>(x, lens, W, state, words); break;
+    case 5: encode_windows_c<5>(x, lens, W, state, words); break;
+    case 6: encode_windows_c<6>(x, lens, W, state, words); break;
+    case 7: encode_windows_c<7>(x, lens, W, state, words); break;
+    case 8: encode_windows_c<8>(x, lens, W, state, words); break;
+    default: break;  // QOA_MAX_CHANNELS == 8
+  }
+}
+
+// Whole-file variant: one call over all frames' windows, recording the
+// carried LMS into snaps (n_snaps, 8, C) every `interval` windows — the
+// per-frame state snapshots each QOA frame header serializes
+// (/root/reference/src/lib.rs:455-466).  Zero-length (padding) windows
+// pass state through, so a short final frame's unused window slots are
+// simply lens == 0.
+void qoa_encode_file(const int16_t* x, const int32_t* lens, int64_t W,
+                     int64_t C, int64_t interval, int32_t* state,
+                     uint64_t* words, int32_t* snaps) {
+  for (int64_t w0 = 0; w0 < W; w0 += interval) {
+    std::memcpy(snaps + (w0 / interval) * 8 * C, state,
+                sizeof(int32_t) * 8 * C);
+    const int64_t wn = (w0 + interval < W ? interval : W - w0);
+    qoa_encode_windows(x + w0 * kSliceLen * C, lens + w0, wn, C, state,
+                       words + w0 * C);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// De-interleave PCM for the encoder: (T, C) int16 -> (W, 20, C) int16 with
+// zero padding past T samples.  ((W*20, C) row-major IS the interleaved
+// layout, so this is a bounded copy.)
+// ---------------------------------------------------------------------------
+void qoa_deinterleave(const int16_t* pcm, int64_t T, int64_t C, int64_t W,
+                      int16_t* out) {
+  std::memset(out, 0, sizeof(int16_t) * W * kSliceLen * C);
+  std::memcpy(out, pcm, sizeof(int16_t) * T * C);
+}
+
+}  // extern "C"

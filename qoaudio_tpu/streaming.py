@@ -79,12 +79,19 @@ class QoaDecoder:
     headers.  Bulk access: ``read_samples`` / ``decode_pending``.
     """
 
-    def __init__(self, source, backend: str = "numpy", readahead: int = 32):
+    def __init__(self, source, backend: str = "auto", readahead: int = 32):
         """``readahead``: frames decoded per staging batch.  Frames are
         decode-parallel (each carries its LMS seed), so staging many at once
         costs the same wall time as one — the TPU-idiomatic default.  Use
-        ``readahead=1`` for strict frame-at-a-time IO."""
+        ``readahead=1`` for strict frame-at-a-time IO.
+
+        ``backend``: "auto" (native host engine, falling back to numpy),
+        "native", "numpy", or "jax" (the batched device kernel)."""
         self._reader = _as_reader(source)
+        if backend == "auto":
+            from . import native
+
+            backend = "native" if native.available() else "numpy"
         self._backend = backend
         self._readahead = max(1, readahead)
         self._dead = False
@@ -242,6 +249,25 @@ class QoaDecoder:
                 pad_chains_to=max(8, _next_pow2(batch.n_frames * batch.channels)),
                 pad_windows_to=_next_pow2(batch.max_windows),
             )
+        elif self._backend == "native":
+            from . import native
+
+            F, Wn, C = batch.sf.shape
+            logical = bs.pack_slices(
+                batch.sf.astype(np.uint64), batch.codes.astype(np.uint64)
+            )  # (F, Wn, C)
+            words_be = (
+                np.ascontiguousarray(logical.transpose(1, 0, 2))
+                .astype(">u8")
+                .view(np.uint64)
+                .reshape(Wn, F * C)
+            )
+            st = np.empty((8, F * C), np.int32)
+            st[0:4] = batch.history.reshape(F * C, 4).T
+            st[4:8] = batch.weights.reshape(F * C, 4).T
+            dec = native.decode_chains(words_be, st)
+            pcm = native.interleave_trim(dec, F, C, F * Wn * fmt.QOA_SLICE_LEN)
+            pcm = pcm.reshape(F, Wn * fmt.QOA_SLICE_LEN, C)
         else:
             from .reference import decode_batch_np
 
@@ -387,11 +413,15 @@ class QoaEncoder:
     (reference guarantee, src/lib.rs:1262-1297).
     """
 
-    def __init__(self, desc: QoaDesc, backend: str = "jax"):
+    def __init__(self, desc: QoaDesc, backend: str = "auto"):
         from .codec import _validate_desc
 
         _validate_desc(desc)
         self.desc = desc
+        if backend == "auto":
+            from . import native
+
+            backend = "native" if native.available() else "jax"
         self._backend = backend
         self.channels = desc.channels
         self.sample_rate = desc.sample_rate
@@ -459,6 +489,8 @@ class QoaEncoder:
 
         if self._backend == "numpy":
             return self._frame_bytes_numpy(pcm, frame_len)
+        if self._backend == "native":
+            return self._frame_bytes_native(pcm, frame_len)
 
         from .codec import _CANON_CHAINS, layout_pcm
         from .ops.encode import encode_frames
@@ -491,6 +523,28 @@ class QoaEncoder:
             snaps[0, 0:4].T,
             snaps[0, 4:8].T,
             words[0, :n_windows],
+        )
+
+    def _frame_bytes_native(self, pcm, frame_len: int) -> bytes:
+        from . import native
+
+        C = self.channels
+        n_windows = -(-frame_len // fmt.QOA_SLICE_LEN)
+        lens = np.full(n_windows, fmt.QOA_SLICE_LEN, np.int32)
+        lens[-1] = frame_len - (n_windows - 1) * fmt.QOA_SLICE_LEN
+        hist = self._state[0:4].T.copy()
+        wts = self._state[4:8].T.copy()
+        if not (
+            self._state.flags["C_CONTIGUOUS"] and self._state.dtype == np.int32
+        ):
+            self._state = np.ascontiguousarray(self._state, dtype=np.int32)
+        words = native.encode_windows(
+            pcm.reshape(-1, C), lens, n_windows, self._state
+        )
+        for c in range(C):
+            self.prev_scalefactor[c] = int(words[n_windows - 1, c] >> 60)
+        return bs.build_frame_bytes(
+            C, self.sample_rate, frame_len, hist, wts, words
         )
 
     def _frame_bytes_numpy(self, pcm, frame_len: int) -> bytes:

@@ -1,0 +1,119 @@
+"""Native host-engine tests: bit-exactness, goldens, and API integration.
+
+The native engine (qoaudio_tpu/native/) is the host/IO path of the
+framework; its encoder must produce byte-identical streams to the scalar
+oracle (and therefore to the JAX device kernel, which is separately pinned
+to the oracle in test_jax_encode.py).
+"""
+
+import hashlib
+import io
+
+import numpy as np
+import pytest
+
+from qoaudio_tpu import QoaDecoder, QoaDesc, QoaEncoder, codec, native
+from qoaudio_tpu import format as fmt
+from qoaudio_tpu import reference as ref
+
+from conftest import make_noise, make_sine
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native engine unavailable (no g++?)"
+)
+
+# SHA-256 of encode_all(decode_all(fixture)) — frozen after cross-checking
+# byte equality between the native engine, the JAX device kernel, and the
+# scalar oracle (on prefixes).  Guards encoder bit-exactness against
+# regressions without re-running the oracle (VERDICT round 1, item 9).
+FIXTURE_REENCODE_SHA256 = (
+    "e9f87726aef5d602e248dc839ac7de5c570ad869419984f00274cde76f28c19e"
+)
+
+
+def test_native_encode_matches_oracle_various():
+    rng = np.random.default_rng(11)
+    cases = [
+        (make_sine(2100, 1), 1, 44100, 2100),
+        (make_noise(6000, 2, seed=1), 2, 44100, 6000),
+        (make_noise(70, 1, seed=2), 1, 44100, 70),
+        (make_noise(130, 8, seed=3), 8, 44100, 130),
+        (make_noise(97, 3, seed=4), 3, 44100, 97),
+        (np.zeros(500, np.int16), 1, 44100, 500),
+        (np.array([12345], np.int16), 1, 44100, 1),
+        (
+            np.tile(np.array([32767] * 10 + [-32768] * 10, np.int16), 50),
+            1,
+            44100,
+            1000,
+        ),
+        (rng.integers(-32768, 32767, 5130 * 2).astype(np.int16), 2, 48000, 5130),
+    ]
+    for pcm, c, r, s in cases:
+        want = ref.encode_all_py(pcm, c, r, s)
+        got = codec.encode_all(pcm, QoaDesc(c, r, s), backend="native")
+        assert got == want, f"native encode != oracle (C={c}, T={s})"
+
+
+def test_native_decode_matches_oracle(fixture_bytes):
+    out = codec.decode_all(fixture_bytes, backend="native")
+    _, _, want = ref.decode_all_np(fixture_bytes)
+    assert np.array_equal(out.samples, want)
+    assert out.num_channels == 2 and out.sample_rate == 44100
+
+
+def test_fixture_reencode_golden(fixture_bytes):
+    out = codec.decode_all(fixture_bytes, backend="native")
+    desc = QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel)
+    enc = codec.encode_all(out.samples, desc, backend="native")
+    assert hashlib.sha256(enc).hexdigest() == FIXTURE_REENCODE_SHA256
+
+
+def test_streaming_encoder_native_equals_oneshot():
+    pcm = make_noise(12000, 2, seed=9, amplitude=30000)
+    desc = QoaDesc(2, 44100, 12000)
+    oneshot = codec.encode_all(pcm, desc, backend="native")
+    enc = QoaEncoder(desc, backend="native")
+    out = io.BytesIO()
+    enc.write_header(out)
+    for off in range(0, 12000, fmt.QOA_FRAME_LEN):
+        n = min(12000 - off, fmt.QOA_FRAME_LEN)
+        enc.encode_frame(pcm[off * 2 : (off + n) * 2], out)
+    assert out.getvalue() == oneshot
+
+
+def test_streaming_decoder_native_matches_decode_all(fixture_bytes):
+    dec = QoaDecoder(fixture_bytes, backend="native", readahead=64)
+    total = 0
+    chunks = []
+    while True:
+        nxt = dec.next_frame()
+        if nxt is None:
+            break
+        _, block = nxt
+        chunks.append(block)
+        total += len(block)
+    got = np.concatenate(chunks)
+    want = codec.decode_all(fixture_bytes, backend="native").samples
+    assert np.array_equal(got, want)
+
+
+def test_native_auto_backend_is_default():
+    # backend="auto" must route to the native engine when available
+    pcm = make_sine(100, 1)
+    a = codec.encode_all(pcm, QoaDesc(1, 44100, 100))  # auto
+    b = codec.encode_all(pcm, QoaDesc(1, 44100, 100), backend="native")
+    assert a == b
+
+
+def test_non_uniform_stream_falls_back(fixture_bytes):
+    # a streaming-mode byte stream (total_samples == 0) can't use the fast
+    # arithmetic parse; decode_all must still produce exact samples
+    pcm = make_noise(7000, 2, seed=12)
+    desc = QoaDesc(2, 44100, 7000)
+    data = codec.encode_all(pcm, desc, backend="native")
+    # rewrite the header to claim streaming mode
+    stream = fmt.pack_file_header(0) + data[8:]
+    out = codec.decode_all(stream, backend="native")
+    _, _, want = ref.decode_all_np(stream)
+    assert np.array_equal(out.samples, want)
