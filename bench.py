@@ -1,17 +1,26 @@
 #!/usr/bin/env python
-"""Headline benchmark: bit-exact QOA encode throughput on one chip.
+"""Headline benchmark: bit-exact QOA transcode throughput.
 
-Workload: real music PCM (the reference fixture decoded), batched across
-the chain axis so the encoder kernel's 16-scalefactor lanes and the VPU
-stay saturated — the deployment shape of this framework (batched corpus
-transcode, BASELINE.json config 5).  The PCM working set is staged once
-and stays HBM-resident; the timed region is the encode kernel chain.
+Primary metric (the JSON line's value): batched encode on one TPU chip via
+the Pallas kernel — real music PCM (the reference fixture) replicated
+across the chain axis, HBM-resident working set, LMS state chained across
+repeated kernel launches (BASELINE.json config 5, the deployment shape).
+The same JSON object carries the secondary metrics the reference also
+benches (see /root/reference/benches/qoa_benchmarks.rs): full-fixture
+decode and single-file encode, both END-TO-END on the host path (bytes in,
+bytes/PCM out — the native engine), plus the XLA-kernel encode number.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Baselines (BASELINE.md, Apple M-series):
+  Rust encode ~41.3 Msamples/s, Rust decode ~191.5 Msamples/s.
+North star (BASELINE.json): >= 50x Rust encode ~ 2.07 Gsamples/s/chip.
 
-Baseline: the reference Rust encoder at ~41.3 Msamples/s on Apple M-series
-(BASELINE.md).  Progress details go to stderr.
+Timing notes for this host: jax.block_until_ready does not reliably block
+on the experimental "axon" platform, and any D2H fetch pays a ~66 ms
+tunnel round-trip — device timings therefore chain K launches and time
+the DIFFERENCE between two chain lengths, which cancels the fetch.
+
+Set QOA_BENCH_TRACE=<dir> to wrap the device region in a jax.profiler
+trace.
 """
 
 import json
@@ -23,17 +32,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_bench"),
-)
+from qoaudio_tpu.utils.timing import Stopwatch, profiler_trace  # noqa: E402
 
 FIXTURE = "/root/reference/fixtures/julien_baker_sprained_ankle.qoa"
-RUST_ENCODE_MSAMPLES_PER_S = 41.3  # BASELINE.md (Apple M-series)
+RUST_ENCODE_MSPS = 41.3
+RUST_DECODE_MSPS = 191.5
 
-N_CHAINS = 2048  # 1024 stereo streams as vector lanes
-BENCH_FRAMES = 64  # frames per stream in the resident working set
-CHUNK_FRAMES = 32  # frames per kernel launch
+N_CHAINS = 2048  # 1024 stereo streams as VPU lanes
+BENCH_FRAMES = 16  # frames per stream in the HBM-resident working set
 
 
 def log(msg):
@@ -46,14 +52,8 @@ def load_pcm():
     if os.path.exists(FIXTURE):
         with open(FIXTURE, "rb") as f:
             data = f.read()
-        t0 = time.perf_counter()
         out = codec.decode_all(data)
-        dt = time.perf_counter() - t0
-        log(
-            f"decode fixture: {len(out.samples)} samples in {dt*1e3:.0f} ms "
-            f"end-to-end ({len(out.samples)/dt/1e6:.0f} Msamples/s incl. host)"
-        )
-        return out.samples, out.num_channels, out.samples_per_channel
+        return data, out.samples, out.num_channels, out.samples_per_channel
     log("fixture missing; synthesizing 54-s stereo signal")
     rng = np.random.default_rng(0)
     n = 2_394_122
@@ -64,7 +64,67 @@ def load_pcm():
         + rng.normal(0, 500, n)
     )
     pcm = np.stack([sig, np.roll(sig, 7)], -1).reshape(-1).astype(np.int16)
-    return pcm, 2, n
+    from qoaudio_tpu.types import QoaDesc
+
+    data = codec.encode_all(pcm, QoaDesc(2, 44100, n))
+    return data, pcm, 2, n
+
+
+def bench_host_paths(data, pcm, channels, spc):
+    """End-to-end host-path numbers on the native engine."""
+    from qoaudio_tpu import codec, native
+    from qoaudio_tpu.types import QoaDesc
+
+    out = {}
+    if not native.available():
+        log("native engine unavailable; skipping host-path metrics")
+        return out
+
+    total = len(pcm)
+    best = float("inf")
+    for _ in range(5):
+        with Stopwatch() as sw:
+            codec.decode_all(data, backend="native")
+        best = min(best, sw.elapsed)
+    out["decode_e2e_msps"] = round(total / best / 1e6, 1)
+    log(f"host decode end-to-end: {best*1e3:.1f} ms = {out['decode_e2e_msps']} Msps"
+        f" (Rust {RUST_DECODE_MSPS})")
+
+    desc = QoaDesc(channels, 44100, spc)
+    best = float("inf")
+    for _ in range(3):
+        with Stopwatch() as sw:
+            codec.encode_all(pcm, desc, backend="native")
+        best = min(best, sw.elapsed)
+    out["encode_single_file_e2e_msps"] = round(total / best / 1e6, 1)
+    log(
+        f"host single-file encode end-to-end: {best*1e3:.0f} ms = "
+        f"{out['encode_single_file_e2e_msps']} Msps (Rust {RUST_ENCODE_MSPS})"
+    )
+    return out
+
+
+def chain_launches(fn, state0, x, lens, reps):
+    """Chain reps kernel launches through the carried state; returns after
+    one tiny D2H fetch (the only sync that works reliably here)."""
+    st = state0
+    for _ in range(reps):
+        st, snaps, hi, lo = fn(st, x, lens)
+    return int(np.asarray(st[0, 0]))
+
+
+def bench_device(fn, name, state0, x, lens, total_samples):
+    chain_launches(fn, state0, x, lens, 1)  # warm / compile
+    t0 = time.perf_counter()
+    chain_launches(fn, state0, x, lens, 2)
+    d2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chain_launches(fn, state0, x, lens, 10)
+    d10 = time.perf_counter() - t0
+    per = (d10 - d2) / 8
+    msps = total_samples / per / 1e6
+    log(f"{name}: {per*1e3:.1f} ms/launch = {msps/1e3:.2f} Gsamples/s")
+    return msps
 
 
 def main():
@@ -74,62 +134,54 @@ def main():
     from qoaudio_tpu.ops.encode import encode_frames, initial_encoder_state
 
     log(f"devices: {jax.devices()}")
-    pcm, channels, samples_per_channel = load_pcm()
+    data, pcm, channels, spc = load_pcm()
+    extra = bench_host_paths(data, pcm, channels, spc)
 
-    x, lens, F = codec.layout_pcm(pcm, channels, samples_per_channel)
+    # HBM-resident batched working set: fixture PCM replicated across lanes
+    x, lens, F = codec.layout_pcm(pcm, channels, spc)
     F_use = min(BENCH_FRAMES, F)
     reps = N_CHAINS // channels
-    state = initial_encoder_state(channels, N_CHAINS)
-
-    # working set: (F_use, 256, 20, N) int16 ~= BENCH_FRAMES*2.6 MB * N/256
-    xp = np.repeat(x[:F_use], reps, axis=3)
-    lp = np.repeat(
-        lens[:F_use, :, None].astype(np.int32), N_CHAINS, axis=2
+    xp = jax.device_put(np.repeat(x[:F_use], reps, axis=3))
+    lp = jax.device_put(
+        np.repeat(lens[:F_use, :, None].astype(np.int32), N_CHAINS, axis=2)
     )
+    state0 = jax.device_put(initial_encoder_state(channels, N_CHAINS))
+    total = F_use * 5120 * N_CHAINS
 
-    chunks = []
-    for f0 in range(0, F_use, CHUNK_FRAMES):
-        chunks.append(
-            (
-                jax.device_put(xp[f0 : f0 + CHUNK_FRAMES]),
-                jax.device_put(lp[f0 : f0 + CHUNK_FRAMES]),
+    with profiler_trace(os.environ.get("QOA_BENCH_TRACE")):
+        try:
+            from qoaudio_tpu.ops.pallas_encode import (
+                available as pallas_available,
+                encode_frames_pallas,
             )
-        )
-    del xp, lp
 
-    def run_all(state):
-        outs = []
-        for cx, cl in chunks:
-            state, snaps, hi, lo = encode_frames(state, cx, cl)
-            outs.append((hi, lo))
-        return state, outs
+            if pallas_available():
+                headline = bench_device(
+                    encode_frames_pallas, "pallas encode", state0, xp, lp, total
+                )
+                extra["encode_xla_msps"] = round(
+                    bench_device(encode_frames, "xla encode", state0, xp, lp, total),
+                    1,
+                )
+            else:
+                raise RuntimeError("no TPU for pallas")
+        except Exception as e:  # pallas unavailable: fall back to XLA kernel
+            log(f"pallas path unavailable ({e}); using XLA kernel")
+            headline = bench_device(
+                encode_frames, "xla encode", state0, xp, lp, total
+            )
 
-    st = jax.device_put(state)
-    t0 = time.perf_counter()
-    _, outs = run_all(st)
-    jax.block_until_ready(outs)
-    log(f"compile+first run: {time.perf_counter()-t0:.1f} s")
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _, outs = run_all(st)
-        jax.block_until_ready(outs)
-        best = min(best, time.perf_counter() - t0)
-
-    total_samples = F_use * 5120 * N_CHAINS
-    msps = total_samples / best / 1e6
-    log(
-        f"batched encode: {N_CHAINS // channels} streams x {F_use} frames x "
-        f"{channels} ch in {best:.3f} s"
-    )
     print(
         json.dumps(
             {
                 "metric": "encode_msamples_per_sec_per_chip",
-                "value": round(msps, 1),
+                "value": round(headline, 1),
                 "unit": "Msamples/s",
-                "vs_baseline": round(msps / RUST_ENCODE_MSAMPLES_PER_S, 2),
+                "vs_baseline": round(headline / RUST_ENCODE_MSPS, 2),
+                **extra,
+                "decode_vs_baseline": round(
+                    extra.get("decode_e2e_msps", 0.0) / RUST_DECODE_MSPS, 2
+                ),
             }
         )
     )

@@ -1,0 +1,261 @@
+"""Pallas/Mosaic TPU encoder kernel — the batched deployment path.
+
+Same algorithm as ops/encode.py (all 16 scalefactor candidates as lanes,
+two-pass lexicographic argmin, two-limb u32 rank; bit-exact with the
+reference's search per the SURVEY.md §3.3 proof), but hand-placed on the
+TPU memory hierarchy instead of relying on XLA fusion:
+
+* grid = (chain_tiles, frames): 128 chains per tile map to the VPU lane
+  axis, the 16 scalefactor candidates to sublanes — each intermediate is
+  one (16, 128) int32 plane, exactly two vregs;
+* the whole 20-step recurrence x 16 candidates for a window runs out of
+  registers/VMEM with ZERO HBM round-trips between ops (XLA materializes
+  several of these planes to HBM per step, which is the measured gap);
+* PCM blocks stream HBM->VMEM via the automatic grid pipeline (one frame
+  per grid step, double-buffered by Pallas);
+* the carried LMS lives in a VMEM scratch that persists across the frame
+  axis of the grid (TPU grids execute sequentially), so frame chunks chain
+  without host round-trips.
+
+Reference behavior pinned: /root/reference/src/lib.rs:495-596 (search),
+:468-491 (slice packing), :455-466 (per-frame LMS snapshots).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import format as fmt
+
+LANES = 128
+_NSF = fmt.QOA_NUM_SCALEFACTORS  # 16
+_SLEN = fmt.QOA_SLICE_LEN  # 20
+_WPF = fmt.QOA_SLICES_PER_FRAME  # 256
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+_SF_TAB = [int(v) for v in fmt.QOA_SCALEFACTOR_TAB]
+_RECIP_TAB = [int(v) for v in fmt.QOA_RECIPROCAL_TAB]
+
+
+def _lane_constants():
+    """Per-candidate constants, derived in-kernel (Pallas kernels cannot
+    capture array constants): scalefactor id per sublane via iota, then
+    16-way masked sums for the value/reciprocal tables and the arithmetic
+    closed forms for the dequant magnitudes."""
+    s = jax.lax.broadcasted_iota(_I32, (_NSF, LANES), 0)
+    sfv = jnp.zeros((_NSF, LANES), _I32)
+    recip = jnp.zeros((_NSF, LANES), _I32)
+    for i in range(_NSF):
+        sel = s == i
+        sfv = jnp.where(sel, _SF_TAB[i], sfv)
+        recip = jnp.where(sel, _RECIP_TAB[i], recip)
+    mags = [
+        (3 * sfv + 2) >> 2,
+        (5 * sfv + 1) >> 1,
+        (9 * sfv + 1) >> 1,
+        7 * sfv,
+    ]
+    sfbits = (s.astype(_U32) << 28)
+    return sfbits, recip, mags
+
+
+def _window_body(x, length, carry, sfbits, recip, mags):
+    """One 20-sample window for one (16, LANES) candidate plane.
+
+    x: (20, LANES) int32 samples; length: (1, LANES) int32 valid count;
+    carry: (8, LANES) int32 LMS. Returns (new_carry, word_hi, word_lo).
+    """
+
+    H = [jnp.broadcast_to(carry[i : i + 1, :], (_NSF, LANES)) for i in range(4)]
+    W = [
+        jnp.broadcast_to(carry[4 + i : 5 + i, :], (_NSF, LANES))
+        for i in range(4)
+    ]
+    rank_lo = jnp.zeros((_NSF, LANES), _U32)
+    rank_hi = jnp.zeros((_NSF, LANES), _I32)
+    word_hi = sfbits
+    word_lo = jnp.zeros((_NSF, LANES), _U32)
+    first_lo, first_hi = rank_lo, rank_hi
+
+    for k in range(_SLEN):
+        active = jnp.broadcast_to(length > k, (_NSF, LANES))
+
+        prediction = (W[0] * H[0] + W[1] * H[1] + W[2] * H[2] + W[3] * H[3]) >> 13
+        ssum = W[0] * W[0] + W[1] * W[1] + W[2] * W[2] + W[3] * W[3]
+        penalty = jnp.maximum((ssum >> 18) - 0x8FF, 0)
+        pen_sq = (penalty * penalty).astype(_U32)
+
+        sample = jnp.broadcast_to(x[k : k + 1, :], (_NSF, LANES))
+        residual = sample - prediction
+        n = (residual * recip + (1 << 15)) >> 16
+        sgn = lambda v: (v > 0).astype(_I32) - (v < 0).astype(_I32)  # noqa: E731
+        scaled = n + sgn(residual) - sgn(n)
+        clamped = jnp.clip(scaled, -8, 8)
+        qneg = jnp.minimum((((-clamped) >> 1) << 1) + 1, 7)
+        qpos = jnp.minimum((clamped >> 1) << 1, 6)
+        q = jnp.where(clamped < 0, qneg, qpos)
+        idx = q >> 1
+        mag = jnp.where(
+            idx < 2,
+            jnp.where(idx == 0, mags[0], mags[1]),
+            jnp.where(idx == 2, mags[2], mags[3]),
+        )
+        dq = jnp.where((q & 1) == 0, mag, -mag)
+        recon = jnp.clip(prediction + dq, -32768, 32767)
+
+        err = (sample - recon).astype(_U32)
+        err_sq = jnp.where(active, err * err, _U32(0))
+        pen_sq = jnp.where(active, pen_sq, _U32(0))
+        lo1 = rank_lo + err_sq
+        c1 = (lo1 < rank_lo).astype(_I32)
+        lo2 = lo1 + pen_sq
+        c2 = (lo2 < lo1).astype(_I32)
+        rank_lo = lo2
+        rank_hi = rank_hi + c1 + c2
+        if k == 0:
+            first_lo, first_hi = rank_lo, rank_hi
+
+        qa = jnp.where(active, q, 0).astype(_U32)
+        if k <= 8:
+            word_hi = word_hi | (qa << (25 - 3 * k))
+        elif k == 9:
+            word_hi = word_hi | (qa >> 2)
+            word_lo = word_lo | ((qa & 3) << 30)
+        else:
+            word_lo = word_lo | (qa << (57 - 3 * k))
+
+        delta = dq >> 4
+        W = [
+            jnp.where(active, W[t] + jnp.where(H[t] < 0, -delta, delta), W[t])
+            for t in range(4)
+        ]
+        H = [
+            jnp.where(active, nxt, H[t])
+            for t, nxt in enumerate([H[1], H[2], H[3], recon])
+        ]
+
+    # two-pass lexicographic argmin (total, first, sf) — see ops/encode.py
+    m_hi, m_lo = rank_hi[0:1, :], rank_lo[0:1, :]
+    for s in range(1, _NSF):
+        rh, rl = rank_hi[s : s + 1, :], rank_lo[s : s + 1, :]
+        better = (rh < m_hi) | ((rh == m_hi) & (rl < m_lo))
+        m_hi = jnp.where(better, rh, m_hi)
+        m_lo = jnp.where(better, rl, m_lo)
+    is_min = (rank_hi == m_hi) & (rank_lo == m_lo)
+    fk_hi = jnp.where(is_min, first_hi, _I32(0x7FFFFFFF))
+    fk_lo = jnp.where(is_min, first_lo, _U32(0xFFFFFFFF))
+
+    b_hi, b_lo = fk_hi[0:1, :], fk_lo[0:1, :]
+    bwh, bwl = word_hi[0:1, :], word_lo[0:1, :]
+    bH = [H[t][0:1, :] for t in range(4)]
+    bW = [W[t][0:1, :] for t in range(4)]
+    for s in range(1, _NSF):
+        better = (fk_hi[s : s + 1, :] < b_hi) | (
+            (fk_hi[s : s + 1, :] == b_hi) & (fk_lo[s : s + 1, :] < b_lo)
+        )
+        b_hi = jnp.where(better, fk_hi[s : s + 1, :], b_hi)
+        b_lo = jnp.where(better, fk_lo[s : s + 1, :], b_lo)
+        bwh = jnp.where(better, word_hi[s : s + 1, :], bwh)
+        bwl = jnp.where(better, word_lo[s : s + 1, :], bwl)
+        bH = [jnp.where(better, H[t][s : s + 1, :], bH[t]) for t in range(4)]
+        bW = [jnp.where(better, W[t][s : s + 1, :], bW[t]) for t in range(4)]
+
+    new_carry = jnp.concatenate(bH + bW, axis=0)  # (8, LANES)
+    return new_carry, bwh[0, :], bwl[0, :]
+
+
+def _encode_kernel(x_ref, lens_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
+                   state_out_ref, carry_ref):
+    f = pl.program_id(1)
+
+    @pl.when(f == 0)
+    def _init():
+        carry_ref[:, :] = state_in_ref[:, :]
+
+    # per-frame LMS snapshot (serialized into the frame header by the host)
+    snaps_ref[0] = carry_ref[:, :]
+
+    sfbits, recip, mags = _lane_constants()
+
+    def body(w, carry):
+        x = x_ref[0, w].astype(_I32)  # (20, LANES)
+        length = lens_ref[0, w].reshape(1, LANES)
+        new_carry, wh, wl = _window_body(x, length, carry, sfbits, recip, mags)
+        hi_ref[0, w] = wh
+        lo_ref[0, w] = wl
+        return new_carry
+
+    carry = jax.lax.fori_loop(0, _WPF, body, carry_ref[:, :])
+    carry_ref[:, :] = carry
+
+    @pl.when(f == pl.num_programs(1) - 1)
+    def _fin():
+        state_out_ref[:, :] = carry_ref[:, :]
+
+
+@jax.jit
+def encode_frames_pallas(state, samples, lens):
+    """Pallas analog of ops.encode.encode_frames (same contract).
+
+    state (8, N) int32; samples (F, 256, 20, N) int16; lens (F, 256, N)
+    int32.  N must be a multiple of 128.  Returns (new_state,
+    snaps (F, 8, N) int32, word_hi, word_lo (F, 256, N) uint32).
+    """
+    F = samples.shape[0]
+    N = samples.shape[3]
+    assert N % LANES == 0, "pad the chain axis to a multiple of 128"
+    n_tiles = N // LANES
+
+    grid = (n_tiles, F)
+    out_shape = (
+        jax.ShapeDtypeStruct((F, _WPF, N), jnp.uint32),  # hi
+        jax.ShapeDtypeStruct((F, _WPF, N), jnp.uint32),  # lo
+        jax.ShapeDtypeStruct((F, 8, N), jnp.int32),  # snaps
+        jax.ShapeDtypeStruct((8, N), jnp.int32),  # state out
+    )
+    hi, lo, snaps, new_state = pl.pallas_call(
+        _encode_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, _WPF, _SLEN, LANES),
+                lambda t, f: (f, 0, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, LANES), lambda t, f: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, LANES), lambda t, f: (0, t), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32)],
+    )(samples, lens, state)
+    return new_state, snaps, hi, lo
+
+
+def available() -> bool:
+    """True when a TPU backend is present (Pallas/Mosaic requires one)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

@@ -1,0 +1,43 @@
+"""Pallas TPU encoder kernel tests.
+
+The test suite runs on CPU (see conftest), where Mosaic is unavailable —
+these tests skip there and run when pointed at a real TPU
+(JAX_PLATFORMS unset / tpu).  The kernel's bit-exactness against the XLA
+kernel (itself pinned to the scalar oracle) is also exercised by bench.py
+on every round's TPU run.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _on_tpu(), reason="needs a TPU backend")
+
+
+def test_pallas_matches_xla_kernel():
+    from qoaudio_tpu.ops.encode import encode_frames, initial_encoder_state
+    from qoaudio_tpu.ops.pallas_encode import encode_frames_pallas
+
+    rng = np.random.default_rng(3)
+    F, N = 2, 128
+    x = rng.integers(-32768, 32767, (F, 256, 20, N)).astype(np.int16)
+    lens = np.full((F, 256, N), 20, np.int32)
+    lens[-1, 200:] = 0  # padded windows
+    lens[-1, 199] = 7  # short final slice
+    state = initial_encoder_state(0, N)
+
+    s1, sn1, hi1, lo1 = encode_frames_pallas(state, x, lens)
+    s2, sn2, hi2, lo2 = encode_frames(state, x, lens)
+    assert np.array_equal(np.asarray(hi1), np.asarray(hi2))
+    assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(sn1), np.asarray(sn2))
