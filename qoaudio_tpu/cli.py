@@ -69,20 +69,54 @@ def _cmd_decode(args) -> int:
     return 0
 
 
+def _play_audio_sink(src, first_block) -> int:
+    """Stream decoded PCM to a real audio device via sounddevice.
+
+    The analog of the reference's rodio sink (/root/reference/
+    examples/play.rs:11-25, src/lib.rs:914-989): blocks stream to the
+    device as frames decode, so playback starts before the file finishes
+    decoding.
+    """
+    import sounddevice as sd  # gated by the caller
+
+    with sd.OutputStream(
+        samplerate=src.sample_rate, channels=src.channels, dtype="int16"
+    ) as stream:
+        block = first_block
+        while len(block):
+            stream.write(np.ascontiguousarray(block.reshape(-1, src.channels)))
+            block = src.read(8192 * src.channels)
+    return 0
+
+
 def _cmd_play(args) -> int:
     """Stream samples to an audio sink.
 
-    Without an audio device (typical on TPU hosts), ``--sink wav`` (default)
-    renders to a temp WAV; ``--sink raw`` streams raw PCM to stdout, pipeable
-    into e.g. ``aplay -f S16_LE``.
+    ``--sink audio`` plays through the default output device (requires the
+    optional ``sounddevice`` package and an audio device — absent on TPU
+    hosts, in which case it falls back to WAV).  ``--sink wav`` (default)
+    renders to a WAV file; ``--sink raw`` streams raw PCM to stdout,
+    pipeable into e.g. ``aplay -f S16_LE``.
     """
     from .source import QoaPcmSource
     from .streaming import QoaDecoder
 
     src = QoaPcmSource(QoaDecoder.open(args.input, backend=args.backend))
-    # touch the first frame so metadata is available
-    samples = src.read()
-    if args.sink == "raw":
+    # touch the first frame so metadata (channels/rate) is available
+    first = src.read(8192)
+
+    sink = args.sink
+    if sink == "audio":
+        try:
+            import sounddevice  # noqa: F401
+
+            return _play_audio_sink(src, first)
+        except Exception as e:  # no module or no device
+            print(f"audio sink unavailable ({e}); falling back to WAV",
+                  file=sys.stderr)
+            sink = "wav"
+    samples = np.concatenate([first, src.read()])
+    if sink == "raw":
         sys.stdout.buffer.write(samples.astype("<i2").tobytes())
         return 0
     out = args.output or (os.path.splitext(args.input)[0] + ".play.wav")
@@ -115,9 +149,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="qoaudio_tpu", description=__doc__)
     p.add_argument(
         "--backend",
-        choices=["jax", "numpy"],
-        default="jax",
-        help="execution backend for the codec core",
+        choices=["auto", "native", "jax", "numpy"],
+        default="auto",
+        help="execution backend for the codec core (auto = native host "
+        "engine when available, else the JAX device kernels)",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -134,7 +169,13 @@ def main(argv=None) -> int:
     pp = sub.add_parser("play", help="decode to an audio sink")
     pp.add_argument("input")
     pp.add_argument("--output", default=None)
-    pp.add_argument("--sink", choices=["wav", "raw"], default="wav")
+    pp.add_argument(
+        "--sink",
+        choices=["audio", "wav", "raw"],
+        default="wav",
+        help="audio = play through the default device (sounddevice; falls "
+        "back to wav when unavailable)",
+    )
     pp.set_defaults(fn=_cmd_play)
 
     pt = sub.add_parser("transcode", help="batched corpus transcode")

@@ -53,6 +53,19 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def initial_encoder_state(channels: int, n_chains: int | None = None) -> np.ndarray:
+    """Fresh per-channel LMS state: history 0, weights (0,0,-2^13,2^14).
+
+    Reference: QoaEncoder::new, /root/reference/src/lib.rs:346-352.
+    Lives here (pure numpy) so the native host path never imports jax.
+    """
+    n = n_chains if n_chains is not None else channels
+    state = np.zeros((8, n), dtype=np.int32)
+    for i, wv in enumerate(fmt.QOA_INITIAL_WEIGHTS):
+        state[4 + i, :] = wv
+    return state
+
+
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
@@ -194,7 +207,6 @@ def _encode_all_native(sample_data, desc: QoaDesc) -> bytes:
     for all frames, and fully vectorized frame-byte assembly.
     """
     from . import native
-    from .ops.encode import initial_encoder_state
 
     C = desc.channels
     T = desc.samples

@@ -214,10 +214,6 @@ def encode_frames(state, samples, lens):
     return state, snaps, hi, lo
 
 
-def initial_encoder_state(channels: int, n_chains: int | None = None) -> np.ndarray:
-    """Fresh per-channel LMS state: history 0, weights (0,0,-2^13,2^14)."""
-    n = n_chains if n_chains is not None else channels
-    state = np.zeros((8, n), dtype=np.int32)
-    for i, wv in enumerate(fmt.QOA_INITIAL_WEIGHTS):
-        state[4 + i, :] = wv
-    return state
+# canonical definition lives in codec.py (pure numpy, jax-free host path);
+# re-exported here for the device-kernel callers
+from ..codec import initial_encoder_state  # noqa: E402,F401

@@ -427,7 +427,7 @@ class QoaEncoder:
         self.sample_rate = desc.sample_rate
         self.samples = desc.samples
         # carried state: (8, C) int32 — history rows 0-3, weights rows 4-7
-        from .ops.encode import initial_encoder_state
+        from .codec import initial_encoder_state
 
         self._state = initial_encoder_state(desc.channels)
         # kept for API parity; the search order does not use it (the

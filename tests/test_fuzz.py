@@ -87,3 +87,101 @@ def test_random_pcm_encode_roundtrip_shape(channels, n):
     from qoaudio_tpu import reference as ref
 
     assert data == ref.encode_all_py(pcm, channels, 44100, n)
+
+
+# ---------------------------------------------------------------------------
+# Generative property fuzzing (hypothesis) — the libFuzzer analogs proper.
+# Reference contracts: fuzz/fuzz_targets/iter_all.rs:5-10 (arbitrary bytes
+# never panic the decoder) and encode_round_trip.rs:5-47 (arbitrary PCM
+# always encodes to decodable QOA of exact shape).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_SETTINGS = dict(
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@settings(max_examples=250, **_FUZZ_SETTINGS)
+@given(blob=st.binary(max_size=4096))
+def test_hypothesis_arbitrary_bytes_decode(blob):
+    try:
+        out = codec.decode_all(blob)
+        assert out.samples.dtype == np.int16
+    except QoaError:
+        pass
+
+
+@settings(max_examples=150, **_FUZZ_SETTINGS)
+@given(blob=st.binary(max_size=2048), data=st.data())
+def test_hypothesis_magic_prefixed_bytes_iterator(data, blob):
+    # bias toward streams that pass the magic check and exercise frame
+    # parsing; also randomly legitimize the header sample count
+    total = data.draw(st.integers(min_value=0, max_value=(1 << 32) - 1))
+    stream = b"qoaf" + int(total).to_bytes(4, "big") + blob
+    try:
+        dec = QoaDecoder(stream)
+        for count, _ in enumerate(dec):
+            if count > 30000:
+                break
+    except QoaError:
+        pass
+
+
+@settings(max_examples=120, **_FUZZ_SETTINGS)
+@given(
+    channels=st.integers(min_value=1, max_value=8),
+    n=st.integers(min_value=1, max_value=600),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_hypothesis_pcm_roundtrip_shape(channels, n, seed):
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, n * channels).astype(np.int16)
+    data = codec.encode_all(pcm, QoaDesc(channels, 44100, n))
+    out = codec.decode_all(data)
+    assert (out.num_channels, out.sample_rate) == (channels, 44100)
+    assert len(out.samples) == n * channels
+
+
+@settings(max_examples=25, **_FUZZ_SETTINGS)
+@given(
+    channels=st.integers(min_value=1, max_value=4),
+    n=st.integers(min_value=1, max_value=120),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_hypothesis_pcm_bytes_equal_oracle(channels, n, seed):
+    # byte-exactness against the scalar oracle on small streams (the
+    # oracle is pure Python; size kept modest for runtime)
+    from qoaudio_tpu import reference as ref
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, n * channels).astype(np.int16)
+    data = codec.encode_all(pcm, QoaDesc(channels, 44100, n))
+    assert data == ref.encode_all_py(pcm, channels, 44100, n)
+
+
+@settings(max_examples=60, **_FUZZ_SETTINGS)
+@given(data=st.data())
+def test_hypothesis_truncations_of_valid_stream(data):
+    # every prefix of a valid stream must decode cleanly or raise typed
+    pcm = make_stream_pcm()
+    stream = codec.encode_all(pcm, QoaDesc(2, 44100, len(pcm) // 2))
+    cut = data.draw(st.integers(min_value=0, max_value=len(stream)))
+    try:
+        codec.decode_all(stream[:cut])
+    except QoaError:
+        pass
+
+
+_STREAM_PCM = None
+
+
+def make_stream_pcm():
+    global _STREAM_PCM
+    if _STREAM_PCM is None:
+        rng = np.random.default_rng(42)
+        _STREAM_PCM = rng.integers(-20000, 20000, 6000 * 2).astype(np.int16)
+    return _STREAM_PCM

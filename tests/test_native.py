@@ -22,10 +22,14 @@ pytestmark = pytest.mark.skipif(
     not native.available(), reason="native engine unavailable (no g++?)"
 )
 
-# SHA-256 of encode_all(decode_all(fixture)) — frozen after cross-checking
-# byte equality between the native engine, the JAX device kernel, and the
-# scalar oracle (on prefixes).  Guards encoder bit-exactness against
-# regressions without re-running the oracle (VERDICT round 1, item 9).
+# SHA-256 of the REAL reference fixture and of encode_all(decode_all(it)) —
+# the re-encode hash is frozen after cross-checking byte equality between
+# the native engine, the JAX device kernel, and the scalar oracle (on
+# prefixes).  Guards encoder bit-exactness against regressions without
+# re-running the oracle (VERDICT round 1, item 9).
+REAL_FIXTURE_SHA256 = (
+    "b8d822ffee42abe052dfaab00136e86c3c1e9eb6e86cd700867b61a9f45a3372"
+)
 FIXTURE_REENCODE_SHA256 = (
     "e9f87726aef5d602e248dc839ac7de5c570ad869419984f00274cde76f28c19e"
 )
@@ -63,6 +67,8 @@ def test_native_decode_matches_oracle(fixture_bytes):
 
 
 def test_fixture_reencode_golden(fixture_bytes):
+    if hashlib.sha256(fixture_bytes).hexdigest() != REAL_FIXTURE_SHA256:
+        pytest.skip("synthesized stand-in fixture; golden pins the real one")
     out = codec.decode_all(fixture_bytes, backend="native")
     desc = QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel)
     enc = codec.encode_all(out.samples, desc, backend="native")
