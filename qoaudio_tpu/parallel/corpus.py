@@ -55,6 +55,35 @@ class TranscodeReport:
         return out
 
 
+def _pick_kernel(mesh, N):
+    """Choose the device kernel: Pallas on TPU (lanes padded to 128),
+    the XLA kernel elsewhere; sharded variants when a mesh is given."""
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if mesh is not None:
+        if on_tpu:
+            from .mesh import encode_frames_pallas_sharded
+
+            return (
+                lambda st, cx, cl: encode_frames_pallas_sharded(mesh, st, cx, cl),
+                128 * mesh.size,
+            )
+        from .mesh import encode_frames_sharded
+
+        return (
+            lambda st, cx, cl: encode_frames_sharded(mesh, st, cx, cl),
+            mesh.size,
+        )
+    if on_tpu:
+        from ..ops.pallas_encode import encode_frames_pallas
+
+        return encode_frames_pallas, 128
+    from ..ops.encode import encode_frames
+
+    return encode_frames, 1
+
+
 def batch_encode(
     files: Sequence[tuple[np.ndarray, QoaDesc]],
     mesh=None,
@@ -63,9 +92,10 @@ def batch_encode(
     """Encode many PCM streams in one batched chain axis.
 
     Returns QOA bytes per file, each bit-exact with single-file encoding
-    (chains are independent lanes; padding slices are inert).
+    (chains are independent lanes; padding slices are inert).  On TPU the
+    Pallas kernel runs the hot loop (chains padded to its 128-lane tiles).
     """
-    from ..ops.encode import encode_frames, initial_encoder_state
+    from ..codec import initial_encoder_state
 
     for pcm, desc in files:
         codec._validate_desc(desc)
@@ -86,9 +116,9 @@ def batch_encode(
         offsets.append(n)
         n += d.channels
     N = n
-    if mesh is not None:
-        size = mesh.size
-        N = -(-N // size) * size  # pad chains to mesh divisibility
+
+    kernel, n_multiple = _pick_kernel(mesh, N)
+    N = -(-N // n_multiple) * n_multiple  # pad chains for kernel/mesh tiles
 
     x = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, N), np.int16)
     lens = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, N), np.int32)
@@ -98,18 +128,15 @@ def batch_encode(
         x[:F, :, :, off : off + d.channels] = xf
         lens[:F, :, off : off + d.channels] = lf[:, :, None]
 
-    # chunked scan with carried state
+    # chunked scan; the carried state stays on device between chunks
     words_parts = []
     snaps_parts = []
+    staged = []
     for f0 in range(0, F_pad, chunk):
         cx, cl = x[f0 : f0 + chunk], lens[f0 : f0 + chunk]
-        if mesh is not None:
-            from .mesh import encode_frames_sharded
-
-            state, snaps, hi, lo = encode_frames_sharded(mesh, state, cx, cl)
-        else:
-            state, snaps, hi, lo = encode_frames(state, cx, cl)
-        state = np.asarray(state)
+        state, snaps, hi, lo = kernel(state, cx, cl)
+        staged.append((snaps, hi, lo))
+    for snaps, hi, lo in staged:
         snaps_parts.append(np.asarray(snaps))
         words_parts.append(
             (np.asarray(hi).astype(np.uint64) << np.uint64(32))

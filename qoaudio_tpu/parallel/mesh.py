@@ -66,3 +66,32 @@ def decode_chains_sharded(mesh: Mesh, state, sf, codes):
 
     state, sf, codes = shard_chain_arrays(mesh, state, sf, codes)
     return decode_chains(state, sf, codes)
+
+
+def encode_frames_pallas_sharded(mesh: Mesh, state, samples, lens):
+    """Pallas encoder under shard_map: each device runs the Mosaic kernel
+    on its local chain shard (N must be a multiple of 128 * mesh.size).
+
+    The workload needs no cross-device communication — shard_map simply
+    pins the per-device kernel launches (SPMD over ICI); collectives would
+    only appear in surrounding reductions (e.g. corpus stats).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops.pallas_encode import encode_frames_pallas
+
+    chain = P(None, DATA_AXIS)
+    x_spec = P(None, None, None, DATA_AXIS)
+    l_spec = P(None, None, DATA_AXIS)
+    fn = shard_map(
+        encode_frames_pallas,
+        mesh=mesh,
+        in_specs=(chain, x_spec, l_spec),
+        out_specs=(chain, P(None, None, DATA_AXIS), l_spec, l_spec),
+        check_vma=False,
+    )
+    state, samples, lens = shard_chain_arrays(mesh, state, samples, lens)
+    return fn(state, samples, lens)
