@@ -82,7 +82,7 @@ def bench_host_paths(data, pcm, channels, spc):
 
     total = len(pcm)
     best = float("inf")
-    for _ in range(5):
+    for _ in range(10):
         with Stopwatch() as sw:
             codec.decode_all(data, backend="native")
         best = min(best, sw.elapsed)
@@ -92,7 +92,7 @@ def bench_host_paths(data, pcm, channels, spc):
 
     desc = QoaDesc(channels, 44100, spc)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         with Stopwatch() as sw:
             codec.encode_all(pcm, desc, backend="native")
         best = min(best, sw.elapsed)
@@ -127,6 +127,51 @@ def bench_device(fn, name, state0, x, lens, total_samples):
     return msps
 
 
+def bench_pallas_decode(data) -> float:
+    """Batched HBM-resident decode: fixture slice words replicated across
+    the chain axis, Pallas kernel, chained-launch timing."""
+    import jax
+
+    from qoaudio_tpu import bitstream as bs
+    from qoaudio_tpu.ops import pallas_decode as pd
+
+    if not pd.available():
+        raise RuntimeError("no TPU")
+    pa = bs.parse_file_arrays(data)
+    W0, N0 = pa.words_be.shape
+    Wp = min(256, W0)
+    logical = pa.words_be.copy().view(np.uint64).byteswap()
+    N = 32768  # replicate the fixture's chains to fill the largest tile
+    idx = np.arange(N) % N0
+    hi = np.ascontiguousarray(
+        (logical[:Wp] >> np.uint64(32)).astype(np.uint32)[:, idx]
+    )
+    lo = np.ascontiguousarray(
+        (logical[:Wp] & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, idx]
+    )
+    state = np.ascontiguousarray(pa.state[:, idx])
+    subs, wblk = pd.pick_tile(N)
+    hi_d, lo_d = jax.device_put(hi), jax.device_put(lo)
+    st_d = jax.device_put(state)
+
+    def run():
+        o = pd.decode_chains_pallas(st_d, hi_d, lo_d, subs=subs, wblk=wblk)
+        return int(np.asarray(o[0, 0, 0]))
+
+    run()
+    t0 = time.perf_counter()
+    run(); run()
+    d2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(8):
+        run()
+    d8 = time.perf_counter() - t0
+    per = (d8 - d2) / 6
+    msps = Wp * 20 * N / per / 1e6
+    log(f"pallas batched decode: {per*1e3:.1f} ms = {msps/1e3:.2f} Gsamples/s")
+    return msps
+
+
 def main():
     import jax
 
@@ -149,6 +194,12 @@ def main():
     total = F_use * 5120 * N_CHAINS
 
     with profiler_trace(os.environ.get("QOA_BENCH_TRACE")):
+        try:
+            extra["decode_batched_msps"] = round(
+                bench_pallas_decode(data), 1
+            )
+        except Exception as e:
+            log(f"pallas decode bench skipped ({e})")
         try:
             from qoaudio_tpu.ops.pallas_encode import (
                 available as pallas_available,
