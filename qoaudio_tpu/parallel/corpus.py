@@ -166,6 +166,105 @@ def batch_encode(
     return out
 
 
+def batch_decode(streams: Sequence[bytes]) -> List[DecodedQoa]:
+    """Decode many QOA byte streams in ONE batched kernel launch.
+
+    Decode has no cross-frame state (every frame header carries its LMS
+    seed, reference src/lib.rs:271-281), so the chains of ALL files —
+    frames x channels each — concatenate into one chain axis: the Pallas
+    kernel on TPU, the native engine elsewhere.  Falls back to per-file
+    decoding for streams the fast arithmetic parser rejects.
+    """
+    import jax
+
+    from .. import native
+    from ..bitstream import parse_file_arrays
+
+    parsed = [parse_file_arrays(d) for d in streams]
+    if any(p is None for p in parsed):
+        return [codec.decode_all(d) for d in streams]
+
+    W = max(p.max_windows for p in parsed)
+    offs = []
+    n = 0
+    for p in parsed:
+        offs.append(n)
+        n += p.n_frames * p.channels
+    N = n
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from ..ops.pallas_decode import LANES, decode_chains_pallas, pick_tile
+
+        subs, wblk = pick_tile(N)
+        tile = subs * LANES
+        Np = -(-N // tile) * tile
+        Wp = -(-W // wblk) * wblk
+        hi = np.zeros((Wp, Np), np.uint32)
+        lo = np.zeros((Wp, Np), np.uint32)
+        state = np.zeros((8, Np), np.int32)
+        for p, off in zip(parsed, offs):
+            logical = p.words_be.copy().view(np.uint64).byteswap()
+            k = p.n_frames * p.channels
+            hi[: p.max_windows, off : off + k] = (
+                logical >> np.uint64(32)
+            ).astype(np.uint32)
+            lo[: p.max_windows, off : off + k] = (
+                logical & np.uint64(0xFFFFFFFF)
+            ).astype(np.uint32)
+            state[:, off : off + k] = p.state
+        dec = np.asarray(
+            decode_chains_pallas(state, hi, lo, subs=subs, wblk=wblk)
+        )
+    else:
+        words_be = np.zeros((W, N), np.uint64)
+        state = np.zeros((8, N), np.int32)
+        for p, off in zip(parsed, offs):
+            k = p.n_frames * p.channels
+            words_be[: p.max_windows, off : off + k] = p.words_be
+            state[:, off : off + k] = p.state
+        if native.available():
+            dec = native.decode_chains(words_be, state)
+        else:
+            from ..ops.decode import decode_chains
+
+            logical = words_be.copy().view(np.uint64).byteswap()
+            sf = (logical >> np.uint64(60)).astype(np.int8)
+            codes = np.zeros((W, fmt.QOA_SLICE_LEN, N), np.int8)
+            for k in range(fmt.QOA_SLICE_LEN):
+                codes[:, k] = (
+                    (logical >> np.uint64(57 - 3 * k)) & np.uint64(7)
+                ).astype(np.int8)
+            dec = np.asarray(decode_chains(state.astype(np.int32), sf, codes))
+
+    outs: List[DecodedQoa] = []
+    for p, off in zip(parsed, offs):
+        k = p.n_frames * p.channels
+        sub = np.ascontiguousarray(dec[: p.max_windows, :, off : off + k])
+        total = int(p.samples_per_frame.sum())
+        if native.available():
+            pcm = native.interleave_trim(sub, p.n_frames, p.channels, total)
+            samples = pcm.reshape(-1)
+        else:
+            W20 = p.max_windows * fmt.QOA_SLICE_LEN
+            arr = (
+                sub.reshape(p.max_windows, fmt.QOA_SLICE_LEN, p.n_frames, p.channels)
+                .transpose(2, 0, 1, 3)
+                .reshape(p.n_frames, W20, p.channels)
+            )
+            samples = np.concatenate(
+                [arr[i, : p.samples_per_frame[i]] for i in range(p.n_frames)]
+            ).reshape(-1)
+        outs.append(
+            DecodedQoa(
+                num_channels=p.channels,
+                sample_rate=p.sample_rate,
+                samples=samples.astype(np.int16, copy=False),
+            )
+        )
+    return outs
+
+
 def transcode_corpus(
     paths: Sequence[str],
     out_dir: Optional[str] = None,
@@ -173,19 +272,20 @@ def transcode_corpus(
     mesh=None,
 ) -> TranscodeReport:
     """Decode a set of QOA files, re-encode them batched, verify, report."""
-    decoded: List[CorpusFile] = []
-    t0 = time.perf_counter()
+    datas = []
     for p in paths:
         with open(p, "rb") as f:
-            data = f.read()
-        d = codec.decode_all(data)
-        decoded.append(
-            CorpusFile(
-                path=p,
-                desc=QoaDesc(d.num_channels, d.sample_rate, d.samples_per_channel),
-                pcm=d.samples,
-            )
+            datas.append(f.read())
+    t0 = time.perf_counter()
+    outs = batch_decode(datas)
+    decoded = [
+        CorpusFile(
+            path=p,
+            desc=QoaDesc(d.num_channels, d.sample_rate, d.samples_per_channel),
+            pcm=d.samples,
         )
+        for p, d in zip(paths, outs)
+    ]
     decode_seconds = time.perf_counter() - t0
 
     t0 = time.perf_counter()

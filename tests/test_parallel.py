@@ -140,3 +140,32 @@ def test_transcode_corpus(tmp_path):
     for i in range(3):
         assert (out_dir / f"in{i}.qoa").exists()
     assert any("Msamples/s" in line for line in report.lines())
+
+
+def test_batch_decode_matches_single_file():
+    from qoaudio_tpu.parallel.corpus import batch_decode
+
+    streams = []
+    wants = []
+    for c, n, seed in [(2, 12000, 1), (1, 777, 2), (4, 5121, 3), (2, 20, 4)]:
+        pcm = make_noise(n, c, seed=seed)
+        data = codec.encode_all(pcm, QoaDesc(c, 44100, n))
+        streams.append(data)
+        wants.append(codec.decode_all(data).samples)
+    outs = batch_decode(streams)
+    for out, want in zip(outs, wants):
+        assert np.array_equal(out.samples, want)
+
+
+def test_batch_decode_streaming_mode_fallback():
+    # a streaming-mode stream defeats the fast parser; batch_decode must
+    # fall back to per-file decoding and still be exact
+    from qoaudio_tpu import format as _fmt
+    from qoaudio_tpu.parallel.corpus import batch_decode
+
+    pcm = make_noise(3000, 2, seed=5)
+    data = codec.encode_all(pcm, QoaDesc(2, 44100, 3000))
+    stream = _fmt.pack_file_header(0) + data[8:]
+    outs = batch_decode([stream, data])
+    assert np.array_equal(outs[0].samples, codec.decode_all(stream).samples)
+    assert np.array_equal(outs[1].samples, codec.decode_all(data).samples)
