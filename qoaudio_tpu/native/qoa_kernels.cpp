@@ -57,12 +57,6 @@ inline uint64_t bswap64(uint64_t v) { return __builtin_bswap64(v); }
 typedef int32_t v16i __attribute__((vector_size(64)));
 typedef uint32_t v16u __attribute__((vector_size(64)));
 
-// select a where mask (-1) else b
-inline v16i vsel(v16i m, v16i a, v16i b) { return (a & m) | (b & ~m); }
-inline v16u vselu(v16i m, v16u a, v16u b) {
-  return (a & (v16u)m) | (b & ~(v16u)m);
-}
-
 inline v16i vbroadcast(int32_t s) { return v16i{} + s; }
 
 #define V16_FROM_TABLE(expr)                                                  \
@@ -275,16 +269,6 @@ void qoa_interleave(const int16_t* in, int64_t W, int64_t F, int64_t C,
 namespace {
 
 int64_t g_fallback_count = 0;
-
-typedef int32_t v8i __attribute__((vector_size(32)));
-typedef uint32_t v8u __attribute__((vector_size(32)));
-
-inline v8i v8bcast(int32_t s) { return v8i{} + s; }
-
-// 16-entry quant LUT for the 8-lane path: QUANT_TAB[15] == QUANT_TAB[16],
-// so min(clamped+8, 15) indexes a single 16-entry two-source shuffle.
-const v8i kQuantA = {7, 7, 7, 5, 5, 3, 3, 1};
-const v8i kQuantB = {0, 0, 2, 2, 4, 4, 6, 6};
 
 // full-width (16 sf lanes) state for one channel
 struct Full16 {
@@ -717,17 +701,6 @@ void qoa_encode_file(const int16_t* x, const int32_t* lens, int64_t W,
     qoa_encode_windows(x + w0 * kSliceLen * C, lens + w0, wn, C, state,
                        words + w0 * C);
   }
-}
-
-// ---------------------------------------------------------------------------
-// De-interleave PCM for the encoder: (T, C) int16 -> (W, 20, C) int16 with
-// zero padding past T samples.  ((W*20, C) row-major IS the interleaved
-// layout, so this is a bounded copy.)
-// ---------------------------------------------------------------------------
-void qoa_deinterleave(const int16_t* pcm, int64_t T, int64_t C, int64_t W,
-                      int16_t* out) {
-  std::memset(out, 0, sizeof(int16_t) * W * kSliceLen * C);
-  std::memcpy(out, pcm, sizeof(int16_t) * T * C);
 }
 
 }  // extern "C"

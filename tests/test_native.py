@@ -123,3 +123,27 @@ def test_non_uniform_stream_falls_back(fixture_bytes):
     out = codec.decode_all(stream, backend="native")
     _, _, want = ref.decode_all_np(stream)
     assert np.array_equal(out.samples, want)
+
+
+def test_midstream_format_change_raises_incompatible():
+    # a fixed-mode stream whose second frame changes channels must raise
+    # IncompatibleFrame on every backend (reference src/lib.rs:246-259,
+    # 735-739); the native fast parser must fall back, not misparse
+    from qoaudio_tpu.errors import IncompatibleFrame
+
+    d1 = codec.encode_all(np.zeros(100, np.int16), QoaDesc(1, 44100, 100))
+    d2 = codec.encode_all(np.zeros(200, np.int16), QoaDesc(2, 44100, 100))
+    franken = fmt.pack_file_header(200) + d1[8:] + d2[8:]
+    for be in ("native", "numpy"):
+        with pytest.raises(IncompatibleFrame):
+            codec.decode_all(franken, backend=be)
+
+
+def test_header_total_vs_actual_frames():
+    # the header's total_samples is advisory (the reference only uses it to
+    # reserve); decoding is driven by the frames actually present
+    pcm = make_noise(777, 1, seed=31)
+    data = codec.encode_all(pcm, QoaDesc(1, 44100, 777))
+    lying = fmt.pack_file_header(999999) + data[8:]
+    out = codec.decode_all(lying, backend="native")
+    assert len(out.samples) == 777
