@@ -49,6 +49,7 @@ from .types import (  # noqa: F401
 
 from .codec import (  # noqa: F401
     decode_all,
+    decode_range,
     encode_all,
     open_and_decode_all,
 )
@@ -66,6 +67,7 @@ __all__ = [
     "QoaDesc",
     "Streaming",
     "decode_all",
+    "decode_range",
     "encode_all",
     "open_and_decode_all",
     "QoaDecoder",

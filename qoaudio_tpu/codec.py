@@ -194,6 +194,57 @@ def open_and_decode_all(path, backend: str = "auto") -> DecodedQoa:
         return decode_all(f.read(), backend=backend)
 
 
+def decode_range(
+    data: bytes, start: int, end: int, backend: str = "auto"
+) -> DecodedQoa:
+    """Random-access decode of samples [start, end) per channel.
+
+    QOA frames are self-contained (every header carries the full LMS
+    state, reference src/lib.rs:271-281), so a range decode touches ONLY
+    the frames covering it — O(range), not O(file).  The reference has no
+    such API; it falls out of the same property the batched kernels
+    exploit.  Falls back to a full decode for non-uniform streams.
+    """
+    if start < 0 or end < start:
+        raise ValueError("need 0 <= start <= end")
+    pa = bs.parse_file_arrays(data)
+    if pa is None or backend not in ("auto", "native"):
+        out = decode_all(data, backend=backend)
+        lo = min(start, out.samples_per_channel)
+        hi = min(end, out.samples_per_channel)
+        return DecodedQoa(
+            num_channels=out.num_channels,
+            sample_rate=out.sample_rate,
+            samples=out.samples.reshape(-1, out.num_channels)[lo:hi].reshape(-1),
+        )
+
+    from . import native
+
+    if not native.available():
+        return decode_range(data, start, end, backend="jax")
+
+    C = pa.channels
+    total = int(pa.samples_per_frame.sum())
+    start = min(start, total)
+    end = min(end, total)
+    f0 = start // fmt.QOA_FRAME_LEN
+    f1 = max(f0 + 1, -(-end // fmt.QOA_FRAME_LEN)) if end > start else f0 + 1
+    f1 = min(f1, pa.n_frames)
+
+    words = np.ascontiguousarray(pa.words_be[:, f0 * C : f1 * C])
+    st = np.ascontiguousarray(pa.state[:, f0 * C : f1 * C])
+    dec = native.decode_chains(words, st)
+    sub_total = int(pa.samples_per_frame[f0:f1].sum())
+    pcm = native.interleave_trim(dec, f1 - f0, C, sub_total)
+    lo = start - f0 * fmt.QOA_FRAME_LEN
+    hi = lo + (end - start)
+    return DecodedQoa(
+        num_channels=C,
+        sample_rate=pa.sample_rate,
+        samples=np.ascontiguousarray(pcm[lo:hi]).reshape(-1),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Encode
 # ---------------------------------------------------------------------------

@@ -131,6 +131,8 @@ class QoaDecoder:
             self._current_header = FrameHeader(
                 rec.channels, rec.sample_rate, rec.samples_per_channel
             )
+            self._first_frame_size = rec.frame_size
+            self._first_frame_samples = rec.samples_per_channel
             # its header is delivered by the first-header path, not the queue
             self._records.append((rec, False))
 
@@ -165,6 +167,34 @@ class QoaDecoder:
         """Return the underlying reader; the decoder must not be used after."""
         self._dead = True
         return self._reader
+
+    # -- random access -------------------------------------------------------
+
+    def seek_to_frame(self, index: int) -> None:
+        """Jump to frame ``index`` in O(1) (fixed mode, seekable source).
+
+        QOA frames are self-contained (each header carries the full LMS
+        state, reference src/lib.rs:271-281) and fixed-mode frames are
+        uniformly sized, so the byte offset is pure arithmetic; the target
+        header is validated on the next read (garbage offsets raise the
+        usual typed errors).  The reference has no seeking API — this
+        falls out of the same property the batched kernels exploit.
+        """
+        if not isinstance(self._mode, FixedSamples):
+            raise IoError("seek requires a fixed-mode stream")
+        if not hasattr(self._reader, "seek"):
+            raise IoError("seek requires a seekable source")
+        n_frames = -(-self._mode.samples // self._first_frame_samples)
+        if not 0 <= index < n_frames:
+            raise IoError(f"frame index {index} out of range 0..{n_frames - 1}")
+        self._reader.seek(fmt.QOA_HEADER_SIZE + index * self._first_frame_size)
+        self._pending = np.empty(0, dtype=np.int16)
+        self._pending_idx = 0
+        self._queue.clear()
+        self._records.clear()
+        self._pending_error = None
+        self._dead = False
+        self._returned_first_header = True
 
     # -- frame loading -----------------------------------------------------
 

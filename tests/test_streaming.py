@@ -246,3 +246,33 @@ def test_encoder_prev_scalefactor_tracked():
     pyenc = ref.PyEncoder(1, 44100, 100)
     pyenc.encode(list(map(int, pcm)))
     assert enc.prev_scalefactor == pyenc.prev_scalefactor
+
+
+def test_seek_to_frame(fixture_bytes):
+    # O(1) random access: frame k's samples must equal the linear decode's
+    want = codec.decode_all(fixture_bytes).samples.reshape(-1, 2)
+    dec = QoaDecoder(fixture_bytes)
+    for k in (100, 3, 467):
+        dec.seek_to_frame(k)
+        hdr, block = dec.next_frame()
+        spc = hdr.num_samples_per_channel
+        got = np.asarray(block).reshape(-1, 2)
+        lo = k * 5120
+        assert np.array_equal(got, want[lo : lo + spc]), f"frame {k}"
+    from qoaudio_tpu.errors import IoError as QIoError
+
+    with pytest.raises(QIoError):
+        dec.seek_to_frame(468)
+    with pytest.raises(QIoError):
+        QoaDecoder.new_streaming().seek_to_frame(0)
+
+
+def test_decode_range(fixture_bytes):
+    want = codec.decode_all(fixture_bytes).samples.reshape(-1, 2)
+    for lo, hi in [(0, 100), (5120 * 3 - 7, 5120 * 3 + 7), (2394000, 2394122),
+                   (123456, 123456)]:
+        out = codec.decode_range(fixture_bytes, lo, hi)
+        got = out.samples.reshape(-1, 2) if out.samples.size else out.samples
+        assert len(out.samples) == (hi - lo) * 2
+        if hi > lo:
+            assert np.array_equal(got, want[lo:hi]), (lo, hi)
