@@ -403,6 +403,28 @@ class FrameBatch:
         return self.sf.shape[1]
 
 
+def batch_chain_arrays(batch: "FrameBatch"):
+    """FrameBatch -> chain-vector arrays for the native/Pallas kernels.
+
+    Returns (words_be (W, F*C) uint64 RAW BIG-ENDIAN slice words,
+    state (8, F*C) int32 frame-start LMS); chain n = frame*channels+ch.
+    """
+    F, W, C = batch.sf.shape
+    logical = pack_slices(
+        batch.sf.astype(np.uint64), batch.codes.astype(np.uint64)
+    )  # (F, W, C)
+    words_be = (
+        np.ascontiguousarray(logical.transpose(1, 0, 2))
+        .astype(">u8")
+        .view(np.uint64)
+        .reshape(W, F * C)
+    )
+    state = np.empty((8, F * C), np.int32)
+    state[0:4] = batch.history.reshape(F * C, 4).T
+    state[4:8] = batch.weights.reshape(F * C, 4).T
+    return words_be, state
+
+
 def stack_frames(frames: List[FrameRecord]) -> FrameBatch:
     if not frames:
         raise ValueError("no frames to stack")

@@ -147,18 +147,7 @@ def _decode_all_native(data: bytes) -> DecodedQoa | None:
             raise NoSamples()
         batch = bs.stack_frames(parsed.frames)
         F, W, C = batch.sf.shape
-        words = bs.pack_slices(
-            batch.sf.astype(np.uint64), batch.codes.astype(np.uint64)
-        )  # (F, W, C) logical
-        words_be = (
-            np.ascontiguousarray(words.transpose(1, 0, 2))
-            .astype(">u8")
-            .view(np.uint64)
-            .reshape(W, F * C)
-        )
-        state = np.empty((8, F * C), np.int32)
-        state[0:4] = batch.history.reshape(F * C, 4).T
-        state[4:8] = batch.weights.reshape(F * C, 4).T
+        words_be, state = bs.batch_chain_arrays(batch)
         dec = native.decode_chains(words_be, state)
         spf = batch.samples_per_frame
         rate = batch.sample_rate

@@ -283,18 +283,7 @@ class QoaDecoder:
             from . import native
 
             F, Wn, C = batch.sf.shape
-            logical = bs.pack_slices(
-                batch.sf.astype(np.uint64), batch.codes.astype(np.uint64)
-            )  # (F, Wn, C)
-            words_be = (
-                np.ascontiguousarray(logical.transpose(1, 0, 2))
-                .astype(">u8")
-                .view(np.uint64)
-                .reshape(Wn, F * C)
-            )
-            st = np.empty((8, F * C), np.int32)
-            st[0:4] = batch.history.reshape(F * C, 4).T
-            st[4:8] = batch.weights.reshape(F * C, 4).T
+            words_be, st = bs.batch_chain_arrays(batch)
             dec = native.decode_chains(words_be, st)
             pcm = native.interleave_trim(dec, F, C, F * Wn * fmt.QOA_SLICE_LEN)
             pcm = pcm.reshape(F, Wn * fmt.QOA_SLICE_LEN, C)
