@@ -132,6 +132,40 @@ def _cmd_play(args) -> int:
     return 0
 
 
+def _cmd_info(args) -> int:
+    """Print stream metadata without decoding any samples."""
+    from . import bitstream as bs
+    from . import format as fmt
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    total = fmt.unpack_file_header(data)
+    mode = "streaming" if total == 0 else "fixed"
+    frames = 0
+    channels = rates = None
+    samples = 0
+    pa = bs.parse_file_arrays(data)
+    if pa is not None:
+        frames = pa.n_frames
+        channels, rates = pa.channels, pa.sample_rate
+        samples = int(pa.samples_per_frame.sum())
+    else:
+        for rec in bs.iter_frames(data):
+            frames += 1
+            channels, rates = rec.channels, rec.sample_rate
+            samples += rec.samples_per_channel
+    print(f"{args.input}: {mode} mode, {frames} frames")
+    print(f"  channels {channels}, sample rate {rates} Hz")
+    print(
+        f"  {samples} samples/ch ({samples / rates:.2f} s), "
+        f"{len(data)} bytes, "
+        f"{len(data) * 8 / (samples * (channels or 1)):.2f} bits/sample"
+    )
+    if total and total != samples:
+        print(f"  note: header declares {total} samples/ch")
+    return 0
+
+
 def _cmd_transcode(args) -> int:
     from .parallel.corpus import transcode_corpus
 
@@ -177,6 +211,10 @@ def main(argv=None) -> int:
         "back to wav when unavailable)",
     )
     pp.set_defaults(fn=_cmd_play)
+
+    pi = sub.add_parser("info", help="print stream metadata")
+    pi.add_argument("input")
+    pi.set_defaults(fn=_cmd_info)
 
     pt = sub.add_parser("transcode", help="batched corpus transcode")
     pt.add_argument("inputs", nargs="+")

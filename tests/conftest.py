@@ -26,10 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The host image's sitecustomize registers the remote-TPU ("axon") platform
 # via jax.config, which overrides JAX_PLATFORMS from the environment — force
-# the config back to CPU before any backend initializes.
+# the config back to CPU before any backend initializes.  Set QOA_TEST_TPU=1
+# to keep the TPU instead (enables the tests in test_pallas.py).
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("QOA_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -69,3 +69,17 @@ def test_cli_transcode(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "corpus: 1 files" in out
+
+
+def test_cli_info(tmp_path, capsys):
+    from qoaudio_tpu import cli, codec
+    from qoaudio_tpu.types import QoaDesc
+
+    pcm = make_sine(6000, 2)
+    p = tmp_path / "x.qoa"
+    p.write_bytes(codec.encode_all(pcm, QoaDesc(2, 44100, 6000)))
+    assert cli.main(["info", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "fixed mode, 2 frames" in out
+    assert "channels 2" in out
+    assert "6000 samples/ch" in out

@@ -185,3 +185,26 @@ def make_stream_pcm():
         rng = np.random.default_rng(42)
         _STREAM_PCM = rng.integers(-20000, 20000, 6000 * 2).astype(np.int16)
     return _STREAM_PCM
+
+
+def test_adversarial_weight_wrap_bit_exact():
+    """Full-scale square waves drive the LMS weights toward the wrapping
+    regime (the reference notes overflow only ever affects the encoder's
+    heuristic, src/lib.rs docs for qoa_div); every backend must still be
+    byte-identical to the scalar oracle."""
+    from qoaudio_tpu import reference as ref
+
+    patterns = [
+        np.tile(np.array([32767, -32768], np.int16), 600),
+        np.tile(np.array([32767] * 3 + [-32768] * 3, np.int16), 200),
+        np.tile(np.array([-32768], np.int16), 1200),
+    ]
+    for pcm in patterns:
+        n = len(pcm)
+        want = ref.encode_all_py(pcm, 1, 44100, n)
+        for be in ("native", "jax"):
+            try:
+                got = codec.encode_all(pcm, QoaDesc(1, 44100, n), backend=be)
+            except RuntimeError:
+                continue  # backend unavailable
+            assert got == want, be

@@ -41,3 +41,23 @@ def test_pallas_matches_xla_kernel():
     assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
     assert np.array_equal(np.asarray(sn1), np.asarray(sn2))
+
+
+def test_pallas_decode_matches_xla_kernel():
+    from qoaudio_tpu.ops.decode import decode_chains
+    from qoaudio_tpu.ops import pallas_decode as pd
+
+    rng = np.random.default_rng(7)
+    N, W = 1024, 256
+    hi = rng.integers(0, 2**32, (W, N), dtype=np.uint32)
+    lo = rng.integers(0, 2**32, (W, N), dtype=np.uint32)
+    state = rng.integers(-20000, 20000, (8, N)).astype(np.int32)
+    subs, wblk = pd.pick_tile(N)
+    got = np.asarray(pd.decode_chains_pallas(state, hi, lo, subs=subs, wblk=wblk))
+    u64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    sf = (u64 >> np.uint64(60)).astype(np.int8)
+    codes = np.zeros((W, 20, N), np.int8)
+    for k in range(20):
+        codes[:, k] = ((u64 >> np.uint64(57 - 3 * k)) & np.uint64(7)).astype(np.int8)
+    want = np.asarray(decode_chains(state, sf, codes))
+    assert np.array_equal(got, want)
