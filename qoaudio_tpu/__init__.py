@@ -1,15 +1,16 @@
 """qoaudio_tpu — a TPU-native QOA ("Quite OK Audio") codec framework.
 
-A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
-Rust crate ``qoaudio`` (rafaelcaricio/qoaudio): streaming + one-shot decode,
-one-shot + frame-at-a-time encode, playback source adapter, WAV tooling, and
-batched multi-chip corpus transcode.
+A ground-up re-design of the capabilities of the reference Rust crate
+``qoaudio`` (rafaelcaricio/qoaudio): streaming + one-shot decode, one-shot
++ frame-at-a-time encode (checkpoint/resume), random access, playback
+source + audio sink, WAV tooling, and batched multi-chip corpus transcode.
 
-The per-sample integer codec core runs on device (int32, exact wrapping
-semantics); byte-level framing runs on host.  Frames decode in parallel
-(each carries a full LMS snapshot); the encoder evaluates all 16
-scalefactor candidates as vector lanes and chains LMS state across slices
-with ``lax.scan``.
+Two execution tiers share one bit-exact algorithm: JAX/XLA/Pallas device
+kernels for the batched HBM-resident deployment shape (frames decode in
+parallel — each carries a full LMS snapshot; the encoder evaluates all 16
+scalefactor candidates as vector lanes with exact wrapping int32
+semantics), and a native C++ SIMD engine for the latency-bound host/IO
+paths.  ``backend="auto"`` picks per call site.
 """
 
 from .format import (  # noqa: F401

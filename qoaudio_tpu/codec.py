@@ -1,16 +1,19 @@
-"""High-level one-shot codec API: ``decode_all`` / ``encode_all``.
+"""High-level one-shot codec API: ``decode_all`` / ``encode_all`` /
+``decode_range``.
 
 Mirrors the reference convenience layer (/root/reference/src/lib.rs:706-763)
-with a TPU execution model: byte framing on host, all per-sample integer
-math in batched device kernels.
+with the framework's two-tier execution model (``backend="auto"``):
 
-* ``decode_all``: every frame carries its own LMS seed, so the whole file
-  is decoded in ONE batched kernel launch over frames x channels
-  (SURVEY.md §3.2) — the antithesis of the reference's per-sample iterator.
-* ``encode_all``: the LMS chain is sequential across a channel's slices, so
-  frames stream through ``ops.encode.encode_frames`` in fixed-size chunks
-  with carried device state; all 16 scalefactor candidates evaluate as
-  vector lanes.
+* **native** (default when the C++ engine builds): the host/IO tier —
+  single-file transcode is latency-bound, so it runs on the chain-vector
+  SIMD kernels in ``native/`` with zero staging copies.
+* **jax**: the batched device tier — every frame carries its own LMS seed,
+  so ``decode_all`` is ONE kernel launch over frames x channels
+  (SURVEY.md §3.2), and ``encode_all`` streams frame chunks through
+  ``ops.encode.encode_frames`` with device-resident carried state; all 16
+  scalefactor candidates evaluate as vector lanes.  (The Pallas variants
+  serve the multi-file corpus paths in ``parallel/``.)
+* **numpy**: the pure-host oracle-backed fallback.
 """
 
 from __future__ import annotations

@@ -11,12 +11,14 @@ API parity with the reference's L3 layer:
   ``write_header`` + ``encode_frame`` with LMS state carried across calls
   (byte-identical to one-shot, like the reference's test_streaming_encode).
 
-Execution model difference (TPU-native): instead of decoding one slice at a
-time, whole frames are decoded in a single vectorized call (numpy by
-default; ``backend="jax"`` runs the device kernel).  Iterator semantics are
-preserved, including the quirk that a streaming-mode decoder yields an
-initial default ``FrameHeader(0, 0, 0)`` before the first real frame
-(src/lib.rs:674-678 with the Default current_frame).
+Execution model difference: instead of decoding one slice at a time, whole
+frames decode in a single vectorized call — ``backend="auto"`` (default)
+uses the native chain-vector engine, falling back to numpy; ``"jax"`` runs
+the batched device kernel.  Iterator semantics are preserved, including
+the quirk that a streaming-mode decoder yields an initial default
+``FrameHeader(0, 0, 0)`` before the first real frame (src/lib.rs:674-678
+with the Default current_frame).  Beyond parity: ``seek_to_frame`` gives
+O(1) random access on fixed-mode streams.
 
 Divergence note: the reference dies permanently if ``decode_frame`` is fed
 a partial frame (its cursor has already consumed bytes).  This decoder
