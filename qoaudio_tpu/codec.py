@@ -30,8 +30,6 @@ from .errors import (
 )
 from .types import DecodedQoa, QoaDesc
 
-_DEFAULT_CHUNK_FRAMES = 64
-
 # Canonical kernel shapes: every encode call pads its inputs to one of a
 # tiny fixed ladder of shapes so the whole process (and test suite) shares
 # a handful of XLA compilations instead of one per input size.  The chain
@@ -86,9 +84,7 @@ def decode_all(data: bytes, backend: str = "auto") -> DecodedQoa:
         from . import native
 
         if native.available():
-            out = _decode_all_native(data)
-            if out is not None:
-                return out
+            return _decode_all_native(data)
         if backend == "native":
             raise RuntimeError("native engine unavailable")
         backend = "jax"
@@ -134,11 +130,11 @@ def decode_all(data: bytes, backend: str = "auto") -> DecodedQoa:
     )
 
 
-def _decode_all_native(data: bytes) -> DecodedQoa | None:
+def _decode_all_native(data: bytes) -> DecodedQoa:
     """One-shot decode on the native chain-vector engine.
 
-    Returns None when the stream needs the general frame walk (streaming
-    mode / non-uniform frames) — the caller falls back.
+    Uses the O(1)-per-frame arithmetic parse when the stream is uniform,
+    the general frame walk otherwise (streaming mode, non-uniform frames).
     """
     from . import native
 
@@ -335,12 +331,7 @@ def layout_pcm(
     return x, lens, F
 
 
-def encode_all(
-    sample_data,
-    desc: QoaDesc,
-    backend: str = "auto",
-    chunk_frames: int = _DEFAULT_CHUNK_FRAMES,
-) -> bytes:
+def encode_all(sample_data, desc: QoaDesc, backend: str = "auto") -> bytes:
     """One-shot encode of interleaved 16-bit PCM to QOA bytes.
 
     Bit-exact with the reference encoder (same search, same tie-breaks).
@@ -371,7 +362,7 @@ def encode_all(
     if backend != "jax":
         raise ValueError(f"unknown backend {backend!r}")
 
-    from .ops.encode import encode_frames, initial_encoder_state  # noqa: F811
+    from .ops.encode import encode_frames
 
     C = desc.channels
     T = desc.samples
