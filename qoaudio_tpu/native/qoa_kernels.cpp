@@ -81,9 +81,16 @@ const v16u kSfBitsV = {0u << 28,  1u << 28,  2u << 28,  3u << 28,
                        8u << 28,  9u << 28,  10u << 28, 11u << 28,
                        12u << 28, 13u << 28, 14u << 28, 15u << 28};
 
-// dense int32 lane loop of the decoder, isolated so __restrict__ params are
-// honored and the compiler vectorizes without alias versioning
-void decode_lane_step(int64_t N, const int32_t* __restrict__ ck,
+// Dense int32/u32 lane loop of the decoder, isolated so __restrict__ params
+// are honored and the compiler vectorizes without alias versioning.  The
+// 3-bit code extracts IN the loop from u32 slice-word halves (planes of the
+// u64 word; pure 32-bit ops keep the auto-vectorizer happy where mixed
+// u64 loads defeated it) — no staging code planes, no extra memory pass.
+// K is the compile-time sample index: the shift amounts and which half
+// holds the code are selected at instantiation.
+template <int K>
+void decode_lane_step(int64_t N, const uint32_t* __restrict__ whi,
+                      const uint32_t* __restrict__ wlo,
                       const int32_t* __restrict__ m0,
                       const int32_t* __restrict__ m1,
                       const int32_t* __restrict__ m2,
@@ -99,7 +106,15 @@ void decode_lane_step(int64_t N, const int32_t* __restrict__ ck,
                           (uint32_t)W1[n] * (uint32_t)H1[n] +
                           (uint32_t)W2[n] * (uint32_t)H2[n] +
                           (uint32_t)W3[n] * (uint32_t)H3[n]) >> 13;
-    int32_t code = ck[n];
+    // code K at u64 bits [57-3K, 59-3K]: hi half for K<=8, straddling at 9
+    int32_t code;
+    if constexpr (K <= 8) {
+      code = (int32_t)((whi[n] >> (25 - 3 * K)) & 7u);
+    } else if constexpr (K == 9) {
+      code = (int32_t)(((whi[n] & 1u) << 2) | (wlo[n] >> 30));
+    } else {
+      code = (int32_t)((wlo[n] >> (57 - 3 * K)) & 7u);
+    }
     int32_t idx = code >> 1;
     int32_t m01 = idx == 0 ? m0[n] : m1[n];
     int32_t m23 = idx == 2 ? m2[n] : m3[n];
@@ -174,7 +189,7 @@ extern "C" {
 // ---------------------------------------------------------------------------
 void qoa_decode_chains(const uint64_t* words_be, const int32_t* state,
                        int64_t W, int64_t N, int16_t* out) {
-  int32_t* buf = new int32_t[(12 + kSliceLen) * N];
+  int32_t* buf = new int32_t[14 * N];
   int32_t* H0 = buf + 0 * N;
   int32_t* H1 = buf + 1 * N;
   int32_t* H2 = buf + 2 * N;
@@ -187,25 +202,31 @@ void qoa_decode_chains(const uint64_t* words_be, const int32_t* state,
   int32_t* m1 = buf + 9 * N;
   int32_t* m2 = buf + 10 * N;
   int32_t* m3 = buf + 11 * N;
-  int32_t* codes = buf + 12 * N;  // (20, N) plane, refilled per window
+  uint32_t* whi = reinterpret_cast<uint32_t*>(buf + 12 * N);
+  uint32_t* wlo = reinterpret_cast<uint32_t*>(buf + 13 * N);
   std::memcpy(buf, state, sizeof(int32_t) * 8 * N);
 
   for (int64_t w = 0; w < W; ++w) {
     const uint64_t* row = words_be + w * N;
-    // u64 word -> int32 planes: dequant magnitudes + the 20 codes
+    // u64 word -> u32 half planes + the per-window dequant magnitudes
     for (int64_t n = 0; n < N; ++n) {
       uint64_t v = bswap64(row[n]);
+      whi[n] = static_cast<uint32_t>(v >> 32);
+      wlo[n] = static_cast<uint32_t>(v);
       int32_t sfv = kSfTab[v >> 60];
       m0[n] = mag0(sfv);
       m1[n] = mag1(sfv);
       m2[n] = mag2(sfv);
       m3[n] = mag3(sfv);
-      for (int k = 0; k < kSliceLen; ++k)
-        codes[k * N + n] = static_cast<int32_t>((v >> (57 - 3 * k)) & 7);
     }
-    for (int k = 0; k < kSliceLen; ++k)
-      decode_lane_step(N, codes + k * N, m0, m1, m2, m3, H0, H1, H2, H3, W0,
-                       W1, W2, W3, out + (w * kSliceLen + k) * N);
+#define QOA_STEP(K)                                                         \
+  decode_lane_step<K>(N, whi, wlo, m0, m1, m2, m3, H0, H1, H2, H3, W0, W1, \
+                      W2, W3, out + (w * kSliceLen + K) * N)
+    QOA_STEP(0); QOA_STEP(1); QOA_STEP(2); QOA_STEP(3); QOA_STEP(4);
+    QOA_STEP(5); QOA_STEP(6); QOA_STEP(7); QOA_STEP(8); QOA_STEP(9);
+    QOA_STEP(10); QOA_STEP(11); QOA_STEP(12); QOA_STEP(13); QOA_STEP(14);
+    QOA_STEP(15); QOA_STEP(16); QOA_STEP(17); QOA_STEP(18); QOA_STEP(19);
+#undef QOA_STEP
   }
   delete[] buf;
 }
