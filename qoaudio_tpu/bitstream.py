@@ -302,20 +302,28 @@ def parse_file_arrays(data: bytes) -> Optional[ParsedArrays]:
     N = F * C
     W = W0
 
-    # LMS state: (F_full, C, 2) u64 -> (8, N)
-    lms = words8[:, 1 : 1 + 2 * C].astype(np.uint64).reshape(F_full, C, 2)
-    history = unpack_lms(lms[:, :, 0])  # (F_full, C, 4)
-    weights = unpack_lms(lms[:, :, 1])
-    state = np.empty((8, N), dtype=np.int32)
-    state[0:4, : F_full * C] = history.reshape(F_full * C, 4).T
-    state[4:8, : F_full * C] = weights.reshape(F_full * C, 4).T
+    from . import native
 
-    # slice words: raw big-endian bytes, (F_full, W, C) -> (W, F*C)
-    words_be = np.zeros((W, N), dtype=np.uint64)
-    full = np.ascontiguousarray(
-        words8[:, 1 + 2 * C :].reshape(F_full, W, C).transpose(1, 0, 2)
-    ).view(np.uint64).reshape(W, F_full * C)
-    words_be[:, : F_full * C] = full
+    if native.available():
+        # one native pass: strided gather of slice words + LMS sign-extend
+        words_be, state = native.gather_frames(
+            data, fmt.QOA_HEADER_SIZE, F_full, frame_bytes, C, W0, W, N
+        )
+    else:
+        # LMS state: (F_full, C, 2) u64 -> (8, N)
+        lms = words8[:, 1 : 1 + 2 * C].astype(np.uint64).reshape(F_full, C, 2)
+        history = unpack_lms(lms[:, :, 0])  # (F_full, C, 4)
+        weights = unpack_lms(lms[:, :, 1])
+        state = np.zeros((8, N), dtype=np.int32)
+        state[0:4, : F_full * C] = history.reshape(F_full * C, 4).T
+        state[4:8, : F_full * C] = weights.reshape(F_full * C, 4).T
+
+        # slice words: raw big-endian bytes, (F_full, W, C) -> (W, F*C)
+        words_be = np.zeros((W, N), dtype=np.uint64)
+        full = np.ascontiguousarray(
+            words8[:, 1 + 2 * C :].reshape(F_full, W, C).transpose(1, 0, 2)
+        ).view(np.uint64).reshape(W, F_full * C)
+        words_be[:, : F_full * C] = full
 
     spf = np.full(F, spc0, dtype=np.int64)
     if tail is not None:

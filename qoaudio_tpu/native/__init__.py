@@ -78,6 +78,11 @@ def _load() -> Optional[ctypes.CDLL]:
         p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         p_u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.qoa_gather_frames.argtypes = [
+            p_u8, i64, i64, i64, i64, i64, i64, i64, p_u64, p_i32,
+        ]
+        lib.qoa_gather_frames.restype = None
         lib.qoa_decode_chains.argtypes = [p_u64, p_i32, i64, i64, p_i16]
         lib.qoa_decode_chains.restype = None
         lib.qoa_interleave.argtypes = [p_i16, i64, i64, i64, i64, p_i16]
@@ -94,6 +99,26 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def gather_frames(
+    data: bytes, offset: int, F_full: int, frame_bytes: int, C: int,
+    W0: int, W: int, N: int
+):
+    """Gather a uniform fixed-mode stream's full frames into chain arrays.
+
+    Returns (words_be (W, N) raw big-endian u64, state (8, N) int32); the
+    padding columns/rows (tail frame, short windows) are zeroed for the
+    caller to fill.
+    """
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    words_be = np.zeros((W, N), dtype=np.uint64)
+    state = np.zeros((8, N), dtype=np.int32)
+    lib.qoa_gather_frames(
+        buf, offset, F_full, frame_bytes, C, W0, W, N, words_be, state
+    )
+    return words_be, state
 
 
 def decode_chains(words_be: np.ndarray, state: np.ndarray) -> np.ndarray:

@@ -178,6 +178,41 @@ static void transpose_trim_generic(const int16_t* in, int64_t rows, int64_t F,
 extern "C" {
 
 // ---------------------------------------------------------------------------
+// Gather a uniform fixed-mode stream's frames into chain-vector arrays.
+//
+//   data+offset: first frame; F_full uniform frames of frame_bytes each,
+//   every one W0 windows x C channels (validated by the caller's
+//   arithmetic parse).  Fills words_be (W, N) raw big-endian (columns
+//   beyond F_full*C and rows beyond W0 left untouched — caller zeroes)
+//   and state (8, N) int32 (sign-extended i16 history/weights).
+// ---------------------------------------------------------------------------
+void qoa_gather_frames(const uint8_t* data, int64_t offset, int64_t F_full,
+                       int64_t frame_bytes, int64_t C, int64_t W0, int64_t W,
+                       int64_t N, uint64_t* words_be, int32_t* state) {
+  for (int64_t f = 0; f < F_full; ++f) {
+    const uint8_t* p = data + offset + f * frame_bytes + 8;
+    // LMS: per channel one u64 of history + one u64 of weights (big-endian
+    // groups of 4 x i16)
+    for (int64_t c = 0; c < C; ++c) {
+      const int64_t n = f * C + c;
+      for (int r = 0; r < 4; ++r) {
+        const uint8_t* h = p + c * 16 + 2 * r;
+        const uint8_t* wt = p + c * 16 + 8 + 2 * r;
+        state[(0 + r) * N + n] =
+            (int32_t)(int16_t)((uint16_t(h[0]) << 8) | h[1]);
+        state[(4 + r) * N + n] =
+            (int32_t)(int16_t)((uint16_t(wt[0]) << 8) | wt[1]);
+      }
+    }
+    // slice words: frame layout (W0, C) -> chain layout (W, N)
+    const uint64_t* sw = reinterpret_cast<const uint64_t*>(p + 16 * C);
+    for (int64_t w = 0; w < W0; ++w)
+      for (int64_t c = 0; c < C; ++c)
+        words_be[w * N + f * C + c] = sw[w * C + c];
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Decode: N independent chains, vectorized ACROSS the chain axis.
 //
 //   words_be: (W, N) big-endian u64 slice words (word of chain n, window w
