@@ -276,3 +276,20 @@ def test_decode_range(fixture_bytes):
         assert len(out.samples) == (hi - lo) * 2
         if hi > lo:
             assert np.array_equal(got, want[lo:hi]), (lo, hi)
+
+
+def test_streaming_mode_format_change():
+    # streaming mode permits per-frame channel/rate changes with LMS state
+    # re-sized on the fly (reference src/lib.rs:263-268); fixed mode rejects
+    # the same change (tested in test_native.py)
+    pcm1 = make_sine(200, 1)
+    d1 = codec.encode_all(pcm1, QoaDesc(1, 44100, 200))
+    pcm2 = make_noise(300, 2, seed=77)
+    d2 = codec.encode_all(pcm2, QoaDesc(2, 22050, 300))
+
+    qoa = QoaDecoder.new_streaming()
+    s1 = qoa.decode_frame(d1[8:])
+    s2 = qoa.decode_frame(d2[8:])
+    assert np.array_equal(s1, codec.decode_all(d1).samples)
+    assert np.array_equal(s2, codec.decode_all(d2).samples)
+    assert qoa.current_frame_header() == FrameHeader(2, 22050, 300)
