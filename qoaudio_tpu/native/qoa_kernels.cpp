@@ -11,12 +11,13 @@
 //    header carries a full LMS snapshot (src/lib.rs:271-281), so all
 //    frames decode in parallel — dense int32 lane loops the compiler maps
 //    onto AVX2/AVX-512.
-//  * encode vectorizes across the 16 SCALEFACTOR candidates of one chain:
-//    exactly one 512-bit int32 vector, written with GCC vector extensions
-//    (the same lanes-explicit style as the Pallas/JAX device kernel), then
-//    reduced with the lexicographic (total_rank, first_rank, sf) argmin
-//    proven equivalent to the reference's sequential early-exit search
-//    (SURVEY.md §3.3).
+//  * encode vectorizes across the 16 SCALEFACTOR candidates of one chain
+//    (one 512-bit int32 vector, GCC vector extensions — the same
+//    lanes-explicit style as the Pallas/JAX device kernel) for the first
+//    sample, then continues only the top-8 candidates with rare scalar
+//    stragglers; the winner is the lexicographic
+//    (total_rank, first_rank, sf) argmin proven equivalent to the
+//    reference's sequential early-exit search (SURVEY.md §3.3).
 //
 // All arithmetic wraps in two's complement (unsigned internally), matching
 // the reference's wrapping ops (src/lib.rs:606-617, 797-828).
