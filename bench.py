@@ -109,7 +109,10 @@ def chain_launches(fn, state0, x, lens, reps):
     one tiny D2H fetch (the only sync that works reliably here)."""
     st = state0
     for _ in range(reps):
-        st, snaps, hi, lo = fn(st, x, lens)
+        if lens is None:
+            st, snaps, hi, lo = fn(st, x)
+        else:
+            st, snaps, hi, lo = fn(st, x, lens)
     return int(np.asarray(st[0, 0]))
 
 
@@ -203,12 +206,16 @@ def main():
         try:
             from qoaudio_tpu.ops.pallas_encode import (
                 available as pallas_available,
-                encode_frames_pallas,
+                encode_frames_pallas_full,
             )
 
             if pallas_available():
+                # the working set is BENCH_FRAMES complete frames, i.e. the
+                # full-window region every batch transcode spends its time
+                # in — the specialized kernel is the deployed hot path
                 headline = bench_device(
-                    encode_frames_pallas, "pallas encode", state0, xp, lp, total
+                    encode_frames_pallas_full, "pallas encode (full windows)",
+                    state0, xp, None, total,
                 )
                 extra["encode_xla_msps"] = round(
                     bench_device(encode_frames, "xla encode", state0, xp, lp, total),

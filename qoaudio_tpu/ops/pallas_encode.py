@@ -70,7 +70,11 @@ def _lane_constants():
 def _window_body(x, length, carry, sfbits, recip, mags):
     """One 20-sample window for one (16, LANES) candidate plane.
 
-    x: (20, LANES) int32 samples; length: (1, LANES) int32 valid count;
+    x: (20, LANES) int32 samples; length: (1, LANES) int32 valid count —
+    or None for the full-window specialization, which drops the ~12
+    masking ops per sample (15% of the body; every window of a complete
+    frame has length 20, so batch transcodes run this variant for all but
+    each file's final frame).
     carry: (8, LANES) int32 LMS. Returns (new_carry, word_hi, word_lo).
     """
 
@@ -86,7 +90,10 @@ def _window_body(x, length, carry, sfbits, recip, mags):
     first_lo, first_hi = rank_lo, rank_hi
 
     for k in range(_SLEN):
-        active = jnp.broadcast_to(length > k, (_NSF, LANES))
+        active = (
+            None if length is None
+            else jnp.broadcast_to(length > k, (_NSF, LANES))
+        )
 
         prediction = (W[0] * H[0] + W[1] * H[1] + W[2] * H[2] + W[3] * H[3]) >> 13
         ssum = W[0] * W[0] + W[1] * W[1] + W[2] * W[2] + W[3] * W[3]
@@ -112,8 +119,10 @@ def _window_body(x, length, carry, sfbits, recip, mags):
         recon = jnp.clip(prediction + dq, -32768, 32767)
 
         err = (sample - recon).astype(_U32)
-        err_sq = jnp.where(active, err * err, _U32(0))
-        pen_sq = jnp.where(active, pen_sq, _U32(0))
+        err_sq = err * err
+        if active is not None:
+            err_sq = jnp.where(active, err_sq, _U32(0))
+            pen_sq = jnp.where(active, pen_sq, _U32(0))
         lo1 = rank_lo + err_sq
         c1 = (lo1 < rank_lo).astype(_I32)
         lo2 = lo1 + pen_sq
@@ -123,7 +132,7 @@ def _window_body(x, length, carry, sfbits, recip, mags):
         if k == 0:
             first_lo, first_hi = rank_lo, rank_hi
 
-        qa = jnp.where(active, q, 0).astype(_U32)
+        qa = (q if active is None else jnp.where(active, q, 0)).astype(_U32)
         if k <= 8:
             word_hi = word_hi | (qa << (25 - 3 * k))
         elif k == 9:
@@ -133,14 +142,18 @@ def _window_body(x, length, carry, sfbits, recip, mags):
             word_lo = word_lo | (qa << (57 - 3 * k))
 
         delta = dq >> 4
-        W = [
-            jnp.where(active, W[t] + jnp.where(H[t] < 0, -delta, delta), W[t])
-            for t in range(4)
-        ]
-        H = [
-            jnp.where(active, nxt, H[t])
-            for t, nxt in enumerate([H[1], H[2], H[3], recon])
-        ]
+        if active is None:
+            W = [W[t] + jnp.where(H[t] < 0, -delta, delta) for t in range(4)]
+            H = [H[1], H[2], H[3], recon]
+        else:
+            W = [
+                jnp.where(active, W[t] + jnp.where(H[t] < 0, -delta, delta), W[t])
+                for t in range(4)
+            ]
+            H = [
+                jnp.where(active, nxt, H[t])
+                for t, nxt in enumerate([H[1], H[2], H[3], recon])
+            ]
 
     # two-pass lexicographic argmin (total, first, sf) — see ops/encode.py
     m_hi, m_lo = rank_hi[0:1, :], rank_lo[0:1, :]
@@ -187,7 +200,9 @@ def _encode_kernel(x_ref, lens_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
 
     def body(w, carry):
         x = x_ref[0, w].astype(_I32)  # (20, LANES)
-        length = lens_ref[0, w].reshape(1, LANES)
+        length = (
+            None if lens_ref is None else lens_ref[0, w].reshape(1, LANES)
+        )
         new_carry, wh, wl = _window_body(x, length, carry, sfbits, recip, mags)
         hi_ref[0, w] = wh
         lo_ref[0, w] = wl
@@ -199,6 +214,15 @@ def _encode_kernel(x_ref, lens_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
     @pl.when(f == pl.num_programs(1) - 1)
     def _fin():
         state_out_ref[:, :] = carry_ref[:, :]
+
+
+def _encode_kernel_full(x_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
+                        state_out_ref, carry_ref):
+    """Full-window specialization: every window carries 20 valid samples
+    (true for every frame of a complete file except possibly the last),
+    so the per-sample masking disappears (~15% of the body)."""
+    _encode_kernel(x_ref, None, state_in_ref, hi_ref, lo_ref, snaps_ref,
+                   state_out_ref, carry_ref)
 
 
 @jax.jit
@@ -250,6 +274,54 @@ def encode_frames_pallas(state, samples, lens):
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32)],
     )(samples, lens, state)
+    return new_state, snaps, hi, lo
+
+
+@jax.jit
+def encode_frames_pallas_full(state, samples):
+    """Full-window variant of :func:`encode_frames_pallas` (no ``lens``):
+    every window of every frame must carry 20 valid samples.  Same
+    contract otherwise; bit-identical to the masked kernel on full
+    windows, ~15% faster (the per-sample masking drops out).
+    """
+    F = samples.shape[0]
+    N = samples.shape[3]
+    assert N % LANES == 0, "pad the chain axis to a multiple of 128"
+    n_tiles = N // LANES
+
+    grid = (n_tiles, F)
+    out_shape = (
+        jax.ShapeDtypeStruct((F, _WPF, N), jnp.uint32),  # hi
+        jax.ShapeDtypeStruct((F, _WPF, N), jnp.uint32),  # lo
+        jax.ShapeDtypeStruct((F, 8, N), jnp.int32),  # snaps
+        jax.ShapeDtypeStruct((8, N), jnp.int32),  # state out
+    )
+    hi, lo, snaps, new_state = pl.pallas_call(
+        _encode_kernel_full,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, _WPF, _SLEN, LANES),
+                lambda t, f: (f, 0, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, LANES), lambda t, f: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, LANES), lambda t, f: (0, t), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.int32)],
+    )(samples, state)
     return new_state, snaps, hi, lo
 
 

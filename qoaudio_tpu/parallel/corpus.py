@@ -120,6 +120,20 @@ def batch_encode(
     kernel, n_multiple = _pick_kernel(mesh, N)
     N = -(-N // n_multiple) * n_multiple  # pad chains for kernel/mesh tiles
 
+    # The leading min_i floor(samples_i / 5120) frames are FULL (20 valid
+    # samples in every window of every chain): the specialized no-mask
+    # Pallas kernel runs that region ~6% faster.
+    full_kernel = None
+    f_full_min = 0
+    if mesh is None:
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            from ..ops.pallas_encode import encode_frames_pallas_full
+
+            full_kernel = encode_frames_pallas_full
+            f_full_min = min(d.samples // fmt.QOA_FRAME_LEN for _, d in files)
+
     x = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, N), np.int16)
     lens = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, N), np.int32)
     state = initial_encoder_state(0, N)  # same init weights for every chain
@@ -134,7 +148,10 @@ def batch_encode(
     staged = []
     for f0 in range(0, F_pad, chunk):
         cx, cl = x[f0 : f0 + chunk], lens[f0 : f0 + chunk]
-        state, snaps, hi, lo = kernel(state, cx, cl)
+        if full_kernel is not None and f0 + chunk <= f_full_min:
+            state, snaps, hi, lo = full_kernel(state, cx)
+        else:
+            state, snaps, hi, lo = kernel(state, cx, cl)
         staged.append((snaps, hi, lo))
     for snaps, hi, lo in staged:
         snaps_parts.append(np.asarray(snaps))
