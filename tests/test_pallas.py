@@ -61,3 +61,25 @@ def test_pallas_decode_matches_xla_kernel():
         codes[:, k] = ((u64 >> np.uint64(57 - 3 * k)) & np.uint64(7)).astype(np.int8)
     want = np.asarray(decode_chains(state, sf, codes))
     assert np.array_equal(got, want)
+
+
+def test_pallas_full_window_variant_matches_masked():
+    # the no-mask specialization (the batch-transcode hot path) must be
+    # bit-identical to the masked kernel when every window is full
+    from qoaudio_tpu.codec import initial_encoder_state
+    from qoaudio_tpu.ops.pallas_encode import (
+        encode_frames_pallas,
+        encode_frames_pallas_full,
+    )
+
+    rng = np.random.default_rng(11)
+    F, N = 2, 128
+    x = rng.integers(-32768, 32767, (F, 256, 20, N)).astype(np.int16)
+    lens = np.full((F, 256, N), 20, np.int32)
+    state = initial_encoder_state(0, N)
+    s1, sn1, hi1, lo1 = encode_frames_pallas(state, x, lens)
+    s2, sn2, hi2, lo2 = encode_frames_pallas_full(state, x)
+    assert np.array_equal(np.asarray(hi1), np.asarray(hi2))
+    assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(sn1), np.asarray(sn2))
