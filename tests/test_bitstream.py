@@ -146,3 +146,26 @@ def test_build_frame_roundtrip():
     assert np.array_equal(rec.slice_words, words)
     assert np.array_equal(rec.lms_history, hist)
     assert np.array_equal(rec.lms_weights, wts)
+
+
+def test_parse_file_arrays_matches_general_walk(fixture_bytes):
+    # the O(1)-per-frame arithmetic parse must agree exactly with the
+    # sequential frame walk: same LMS seeds, same raw slice words
+    pa = bs.parse_file_arrays(fixture_bytes)
+    assert pa is not None
+    parsed = bs.parse_file(fixture_bytes)
+    batch = bs.stack_frames(parsed.frames)
+    words_be, state = bs.batch_chain_arrays(batch)
+    assert np.array_equal(pa.words_be, words_be)
+    assert np.array_equal(pa.state, state)
+    assert np.array_equal(pa.samples_per_frame, batch.samples_per_frame)
+    assert (pa.channels, pa.sample_rate) == (batch.channels, batch.sample_rate)
+
+
+def test_parse_file_arrays_rejects_streaming_mode():
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.types import QoaDesc
+
+    pcm = np.zeros(100, np.int16)
+    data = codec.encode_all(pcm, QoaDesc(1, 44100, 100))
+    assert bs.parse_file_arrays(fmt.pack_file_header(0) + data[8:]) is None
