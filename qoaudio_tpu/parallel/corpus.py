@@ -55,12 +55,21 @@ class TranscodeReport:
         return out
 
 
+def _jax_platform():
+    """The active jax platform, or None when no backend can initialize
+    (e.g. a clobbered environment) — callers degrade to the host engine."""
+    try:
+        import jax
+
+        return jax.devices()[0].platform
+    except Exception:
+        return None
+
+
 def _pick_kernel(mesh, N):
     """Choose the device kernel: Pallas on TPU (lanes padded to 128),
     the XLA kernel elsewhere; sharded variants when a mesh is given."""
-    import jax
-
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = _jax_platform() == "tpu"
     if mesh is not None:
         if on_tpu:
             from .mesh import encode_frames_pallas_sharded
@@ -104,6 +113,11 @@ def batch_encode(
 
             raise InvalidSamples()
 
+    if mesh is None and _jax_platform() is None:
+        # no usable jax backend (e.g. a clobbered environment): the host
+        # engine still delivers the same bit-exact streams, file by file
+        return [codec.encode_all(pcm, d) for pcm, d in files]
+
     layouts = [codec.layout_pcm(pcm, d.channels, d.samples) for pcm, d in files]
     F_max = max(F for _, _, F in layouts)
     chunk = min(chunk_frames, codec._next_pow2(F_max))
@@ -125,14 +139,11 @@ def batch_encode(
     # Pallas kernel runs that region ~6% faster.
     full_kernel = None
     f_full_min = 0
-    if mesh is None:
-        import jax
+    if mesh is None and _jax_platform() == "tpu":
+        from ..ops.pallas_encode import encode_frames_pallas_full
 
-        if jax.devices()[0].platform == "tpu":
-            from ..ops.pallas_encode import encode_frames_pallas_full
-
-            full_kernel = encode_frames_pallas_full
-            f_full_min = min(d.samples // fmt.QOA_FRAME_LEN for _, d in files)
+        full_kernel = encode_frames_pallas_full
+        f_full_min = min(d.samples // fmt.QOA_FRAME_LEN for _, d in files)
 
     x = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, N), np.int16)
     lens = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, N), np.int32)
@@ -192,8 +203,6 @@ def batch_decode(streams: Sequence[bytes]) -> List[DecodedQoa]:
     kernel on TPU, the native engine elsewhere.  Falls back to per-file
     decoding for streams the fast arithmetic parser rejects.
     """
-    import jax
-
     from .. import native
     from ..bitstream import parse_file_arrays
 
@@ -209,7 +218,7 @@ def batch_decode(streams: Sequence[bytes]) -> List[DecodedQoa]:
         n += p.n_frames * p.channels
     N = n
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = _jax_platform() == "tpu"
     if on_tpu:
         from ..ops.pallas_decode import LANES, decode_chains_pallas, pick_tile
 
