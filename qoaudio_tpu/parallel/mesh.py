@@ -86,12 +86,14 @@ def encode_frames_pallas_sharded(mesh: Mesh, state, samples, lens):
     chain = P(None, DATA_AXIS)
     x_spec = P(None, None, None, DATA_AXIS)
     l_spec = P(None, None, DATA_AXIS)
-    fn = shard_map(
-        encode_frames_pallas,
+    kwargs = dict(
         mesh=mesh,
         in_specs=(chain, x_spec, l_spec),
         out_specs=(chain, P(None, None, DATA_AXIS), l_spec, l_spec),
-        check_vma=False,
     )
+    try:
+        fn = shard_map(encode_frames_pallas, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells the replication check differently
+        fn = shard_map(encode_frames_pallas, check_rep=False, **kwargs)
     state, samples, lens = shard_chain_arrays(mesh, state, samples, lens)
     return fn(state, samples, lens)
