@@ -155,31 +155,38 @@ def _window_body(x, length, carry, sfbits, recip, mags):
                 for t, nxt in enumerate([H[1], H[2], H[3], recon])
             ]
 
-    # two-pass lexicographic argmin (total, first, sf) — see ops/encode.py
-    m_hi, m_lo = rank_hi[0:1, :], rank_lo[0:1, :]
-    for s in range(1, _NSF):
-        rh, rl = rank_hi[s : s + 1, :], rank_lo[s : s + 1, :]
-        better = (rh < m_hi) | ((rh == m_hi) & (rl < m_lo))
-        m_hi = jnp.where(better, rh, m_hi)
-        m_lo = jnp.where(better, rl, m_lo)
-    is_min = (rank_hi == m_hi) & (rank_lo == m_lo)
-    fk_hi = jnp.where(is_min, first_hi, _I32(0x7FFFFFFF))
-    fk_lo = jnp.where(is_min, first_lo, _U32(0xFFFFFFFF))
+    # Lexicographic argmin (total, first, sf), ties -> lowest sf, as staged
+    # masked min-reductions over the sublane (candidate) axis — ~6x fewer
+    # ops than the 15-step select chains the XLA kernels use.  (Those exist
+    # because a multi-limb compare chain trips an XLA:CPU codegen cliff;
+    # this kernel is Mosaic/TPU-only, where sublane reductions are cheap.)
+    # (Mosaic has no unsigned reductions: u32 order equals signed order of
+    # the sign-bit-flipped value, so the u32 limbs reduce as biased int32.)
+    def as_signed(u):
+        return (u ^ _U32(1 << 31)).astype(_I32)
 
-    b_hi, b_lo = fk_hi[0:1, :], fk_lo[0:1, :]
-    bwh, bwl = word_hi[0:1, :], word_lo[0:1, :]
-    bH = [H[t][0:1, :] for t in range(4)]
-    bW = [W[t][0:1, :] for t in range(4)]
-    for s in range(1, _NSF):
-        better = (fk_hi[s : s + 1, :] < b_hi) | (
-            (fk_hi[s : s + 1, :] == b_hi) & (fk_lo[s : s + 1, :] < b_lo)
-        )
-        b_hi = jnp.where(better, fk_hi[s : s + 1, :], b_hi)
-        b_lo = jnp.where(better, fk_lo[s : s + 1, :], b_lo)
-        bwh = jnp.where(better, word_hi[s : s + 1, :], bwh)
-        bwl = jnp.where(better, word_lo[s : s + 1, :], bwl)
-        bH = [jnp.where(better, H[t][s : s + 1, :], bH[t]) for t in range(4)]
-        bW = [jnp.where(better, W[t][s : s + 1, :], bW[t]) for t in range(4)]
+    rank_lo_s = as_signed(rank_lo)
+    first_lo_s = as_signed(first_lo)
+    ok = rank_hi == jnp.min(rank_hi, axis=0, keepdims=True)
+    m = jnp.min(jnp.where(ok, rank_lo_s, _I32(0x7FFFFFFF)), axis=0, keepdims=True)
+    ok = ok & (rank_lo_s == m)
+    mf = jnp.min(jnp.where(ok, first_hi, _I32(0x7FFFFFFF)), axis=0, keepdims=True)
+    ok = ok & (first_hi == mf)
+    mf = jnp.min(jnp.where(ok, first_lo_s, _I32(0x7FFFFFFF)), axis=0, keepdims=True)
+    ok = ok & (first_lo_s == mf)
+    # exactly-one-hot per chain: the first surviving (lowest) scalefactor
+    # (min-index reduction; Mosaic implements neither cumsum nor u32 mins)
+    sf_idx = jax.lax.broadcasted_iota(_I32, (_NSF, LANES), 0)
+    min_idx = jnp.min(jnp.where(ok, sf_idx, _I32(_NSF)), axis=0, keepdims=True)
+    pick = sf_idx == min_idx
+
+    def sel(a):
+        v = jnp.where(pick, a.astype(_I32), _I32(0))
+        return jnp.sum(v, axis=0, keepdims=True).astype(a.dtype)
+
+    bwh, bwl = sel(word_hi), sel(word_lo)
+    bH = [sel(H[t]) for t in range(4)]
+    bW = [sel(W[t]) for t in range(4)]
 
     new_carry = jnp.concatenate(bH + bW, axis=0)  # (8, LANES)
     return new_carry, bwh[0, :], bwl[0, :]
