@@ -347,8 +347,12 @@ __attribute__((always_inline)) inline void step16(Full16& S, int32_t sample_s, i
   pen = pen < kZero ? kZero : pen;
   v16i residual = (v16i)((v16u)sample - (v16u)p);
   v16i nr = (v16i)((v16u)residual * (v16u)kRecipV + (1u << 15)) >> 16;
-  v16i sgn_r = (residual < kZero) - (residual > kZero);
-  v16i sgn_n = (nr < kZero) - (nr > kZero);
+  // sign via arithmetic shifts: sign(v) = (v>>31) - ((-v)>>31).  Exact
+  // here: residual is bounded by |sample| + |prediction| < 2^19 and nr by
+  // 2^15, so neither can be INT_MIN (the only value the identity
+  // mishandles).  Cheaper than comparison masks (no k-register round trip).
+  v16i sgn_r = (residual >> 31) - ((kZero - residual) >> 31);
+  v16i sgn_n = (nr >> 31) - ((kZero - nr) >> 31);
   v16i scaled = nr + sgn_r - sgn_n;
   scaled = scaled < vbroadcast(-8) ? vbroadcast(-8) : scaled;
   scaled = scaled > vbroadcast(8) ? vbroadcast(8) : scaled;
@@ -414,8 +418,12 @@ __attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
   pen = pen < kZero ? kZero : pen;
   v16i residual = (v16i)((v16u)sample - (v16u)p);
   v16i nr = (v16i)((v16u)residual * (v16u)S.recip + (1u << 15)) >> 16;
-  v16i sgn_r = (residual < kZero) - (residual > kZero);
-  v16i sgn_n = (nr < kZero) - (nr > kZero);
+  // sign via arithmetic shifts: sign(v) = (v>>31) - ((-v)>>31).  Exact
+  // here: residual is bounded by |sample| + |prediction| < 2^19 and nr by
+  // 2^15, so neither can be INT_MIN (the only value the identity
+  // mishandles).  Cheaper than comparison masks (no k-register round trip).
+  v16i sgn_r = (residual >> 31) - ((kZero - residual) >> 31);
+  v16i sgn_n = (nr >> 31) - ((kZero - nr) >> 31);
   v16i scaled = nr + sgn_r - sgn_n;
   scaled = scaled < vbroadcast(-8) ? vbroadcast(-8) : scaled;
   scaled = scaled > vbroadcast(8) ? vbroadcast(8) : scaled;
