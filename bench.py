@@ -34,7 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from qoaudio_tpu.utils.timing import Stopwatch, profiler_trace  # noqa: E402
 
-FIXTURE = "/root/reference/fixtures/julien_baker_sprained_ankle.qoa"
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "julien_baker_sprained_ankle.qoa",
+)
 RUST_ENCODE_MSPS = 41.3
 RUST_DECODE_MSPS = 191.5
 
@@ -162,6 +165,23 @@ def bench_pallas_decode(data) -> float:
         return int(np.asarray(o[0, 0, 0]))
 
     run()
+    # --- parity gate: Pallas decode must match the native host engine ---
+    # (bit-exactness on the REAL device, checked on every bench run)
+    from qoaudio_tpu import native
+
+    if native.available():
+        got = np.asarray(
+            pd.decode_chains_pallas(st_d, hi_d, lo_d, subs=subs, wblk=wblk)
+        )[:, :, :256]
+        want = native.decode_chains(
+            np.ascontiguousarray(pa.words_be[:Wp, :256]),
+            np.ascontiguousarray(pa.state[:, :256]),
+        )
+        if not np.array_equal(got, want):
+            raise SystemExit(
+                "PARITY FAILURE: pallas decode != native engine on fixture"
+            )
+        log("parity gate: pallas decode bit-exact vs native engine")
     t0 = time.perf_counter()
     run(); run()
     d2 = time.perf_counter() - t0
@@ -210,6 +230,30 @@ def main():
             )
 
             if pallas_available():
+                # --- parity gate: every Pallas encode variant must match the
+                # XLA kernel word-for-word on the real working set BEFORE any
+                # timing (same shapes as the timed runs, so the compiles are
+                # shared; comparison reduces on device, only scalars fetch)
+                import jax.numpy as jnp
+                from qoaudio_tpu.ops.pallas_encode import encode_frames_pallas
+
+                ex = encode_frames(state0, xp, lp)
+                for label, got in (
+                    ("pallas", encode_frames_pallas(state0, xp, lp)),
+                    ("pallas_full", encode_frames_pallas_full(state0, xp)),
+                ):
+                    bad = 0
+                    for a, b in zip(ex, got):
+                        bad += int(
+                            np.asarray(jnp.sum((a != b).astype(jnp.int32)))
+                        )
+                    if bad:
+                        raise SystemExit(
+                            f"PARITY FAILURE: {label} encode != xla kernel "
+                            f"({bad} mismatched elements)"
+                        )
+                log("parity gate: pallas encode bit-exact vs xla kernel")
+
                 # the working set is BENCH_FRAMES complete frames, i.e. the
                 # full-window region every batch transcode spends its time
                 # in — the specialized kernel is the deployed hot path

@@ -132,10 +132,11 @@ def parse_frame(data: bytes, offset: int) -> Optional[tuple]:
     left at the header boundary).  Raises on truncation or invalid headers.
     """
     n = len(data)
-    if offset >= n:
-        return None
     if offset + 8 > n:
-        raise IoError("unexpected EOF reading frame header")
+        # EOF (even a PARTIAL header word) at the frame boundary is a clean
+        # end of stream: the reference maps UnexpectedEof on the header
+        # read to Ok(false) (src/lib.rs:205-215)
+        return None
     word = int.from_bytes(data[offset : offset + 8], "big")
     channels, sample_rate, samples_per_channel, frame_size = (
         fmt.unpack_frame_header(word)
@@ -296,6 +297,8 @@ def parse_file_arrays(data: bytes) -> Optional[ParsedArrays]:
         tail, end = out
         if end != n or tail.channels != channels or tail.sample_rate != rate:
             return None
+        if tail.n_windows > W0:
+            return None  # tail longer than the uniform frames: general walk
 
     F = F_full + (1 if tail is not None else 0)
     C = channels

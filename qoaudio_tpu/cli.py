@@ -102,8 +102,10 @@ def _cmd_play(args) -> int:
     from .streaming import QoaDecoder
 
     src = QoaPcmSource(QoaDecoder.open(args.input, backend=args.backend))
-    # touch the first frame so metadata (channels/rate) is available
-    first = src.read(8192)
+    # channel-aligned block so the audio sink's (n, channels) reshape holds
+    # for every channel count; also touches the first frame so metadata
+    # (channels/rate) is available
+    first = src.read(8192 * max(1, src.channels))
 
     sink = args.sink
     if sink == "audio":
@@ -155,6 +157,10 @@ def _cmd_info(args) -> int:
             channels, rates = rec.channels, rec.sample_rate
             samples += rec.samples_per_channel
     print(f"{args.input}: {mode} mode, {frames} frames")
+    if frames == 0 or not rates or not samples:
+        # degenerate but parseable (e.g. header-only stream): counts only
+        print(f"  {len(data)} bytes, no frames")
+        return 0
     print(f"  channels {channels}, sample rate {rates} Hz")
     print(
         f"  {samples} samples/ch ({samples / rates:.2f} s), "

@@ -215,16 +215,38 @@ def decode_range(
     total = int(pa.samples_per_frame.sum())
     start = min(start, total)
     end = min(end, total)
-    f0 = start // fmt.QOA_FRAME_LEN
-    f1 = max(f0 + 1, -(-end // fmt.QOA_FRAME_LEN)) if end > start else f0 + 1
-    f1 = min(f1, pa.n_frames)
+    if end <= start:
+        return DecodedQoa(
+            num_channels=C,
+            sample_rate=pa.sample_rate,
+            samples=np.empty(0, np.int16),
+        )
+    # frame stride comes from the PARSED uniform frame size, not the 5120
+    # maximum — the format allows any uniform samples-per-channel and
+    # parse_file_arrays accepts it (reference reads spc from each header,
+    # src/lib.rs:217-225)
+    spc0 = int(pa.samples_per_frame[0])
+    f0 = start // spc0
+    f1 = min(max(f0 + 1, -(-end // spc0)), pa.n_frames)
 
     words = np.ascontiguousarray(pa.words_be[:, f0 * C : f1 * C])
     st = np.ascontiguousarray(pa.state[:, f0 * C : f1 * C])
     dec = native.decode_chains(words, st)
-    sub_total = int(pa.samples_per_frame[f0:f1].sum())
-    pcm = native.interleave_trim(dec, f1 - f0, C, sub_total)
-    lo = start - f0 * fmt.QOA_FRAME_LEN
+    W20 = pa.max_windows * fmt.QOA_SLICE_LEN
+    if spc0 == W20 or f1 - f0 == 1:
+        # frames are window-aligned (or there is only one): interleave_trim's
+        # contiguous layout is exact
+        sub_total = int(pa.samples_per_frame[f0:f1].sum())
+        pcm = native.interleave_trim(dec, f1 - f0, C, sub_total)
+    else:
+        # short final window inside non-final frames (spc0 % 20 != 0):
+        # interleave the padded layout, then drop each frame's pad rows
+        full = native.interleave_trim(dec, f1 - f0, C, (f1 - f0) * W20)
+        full = full.reshape(f1 - f0, W20, C)
+        pcm = np.concatenate(
+            [full[i, : int(pa.samples_per_frame[f0 + i])] for i in range(f1 - f0)]
+        )
+    lo = start - f0 * spc0
     hi = lo + (end - start)
     return DecodedQoa(
         num_channels=C,

@@ -32,28 +32,43 @@ _build_failed = False
 _SLICE_LEN = 20
 
 
-def _build() -> Optional[str]:
-    """Compile the kernels; returns the .so path or None."""
+def _build(force: bool = False) -> Optional[str]:
+    """Compile the kernels; returns the .so path or None.
+
+    The object is written to a process-unique temp name and os.replace'd
+    into place, so concurrent builders (parallel test runners, the
+    subprocess dryrun racing its parent) each produce a whole .so and the
+    atomic rename wins/loses cleanly — never a torn file.
+    """
     if not os.path.exists(_SRC):
         return None
     if (
-        os.path.exists(_LIB_PATH)
+        not force
+        and os.path.exists(_LIB_PATH)
         and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
     ):
         return _LIB_PATH
-    for flags in (["-O3", "-march=native"], ["-O2"]):
-        cmd = [
-            "g++", *flags, "-fno-strict-aliasing", "-shared", "-fPIC",
-            "-o", _LIB_PATH + ".tmp", _SRC,
-        ]
-        try:
-            r = subprocess.run(cmd, capture_output=True, timeout=120)
-        except (OSError, subprocess.TimeoutExpired):
-            return None
-        if r.returncode == 0:
-            os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
-            return _LIB_PATH
-    return None
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
+    try:
+        for flags in (["-O3", "-march=native"], ["-O2"]):
+            cmd = [
+                "g++", *flags, "-fno-strict-aliasing", "-shared", "-fPIC",
+                "-o", tmp, _SRC,
+            ]
+            try:
+                r = subprocess.run(cmd, capture_output=True, timeout=120)
+            except (OSError, subprocess.TimeoutExpired):
+                return None
+            if r.returncode == 0:
+                os.replace(tmp, _LIB_PATH)
+                return _LIB_PATH
+        return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -72,8 +87,15 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(path)
         except OSError:
-            _build_failed = True
-            return None
+            # a stale/torn .so from an older interrupted build: rebuild once
+            path = _build(force=True)
+            try:
+                lib = ctypes.CDLL(path) if path else None
+            except OSError:
+                lib = None
+            if lib is None:
+                _build_failed = True
+                return None
         i64 = ctypes.c_int64
         p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

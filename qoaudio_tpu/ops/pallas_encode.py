@@ -192,7 +192,7 @@ def _window_body(x, length, carry, sfbits, recip, mags):
     return new_carry, bwh[0, :], bwl[0, :]
 
 
-def _encode_kernel(x_ref, lens_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
+def _encode_kernel(W, x_ref, lens_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
                    state_out_ref, carry_ref):
     f = pl.program_id(1)
 
@@ -215,7 +215,7 @@ def _encode_kernel(x_ref, lens_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
         lo_ref[0, w] = wl
         return new_carry
 
-    carry = jax.lax.fori_loop(0, _WPF, body, carry_ref[:, :])
+    carry = jax.lax.fori_loop(0, W, body, carry_ref[:, :])
     carry_ref[:, :] = carry
 
     @pl.when(f == pl.num_programs(1) - 1)
@@ -223,12 +223,12 @@ def _encode_kernel(x_ref, lens_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
         state_out_ref[:, :] = carry_ref[:, :]
 
 
-def _encode_kernel_full(x_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
+def _encode_kernel_full(W, x_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
                         state_out_ref, carry_ref):
     """Full-window specialization: every window carries 20 valid samples
     (true for every frame of a complete file except possibly the last),
     so the per-sample masking disappears (~15% of the body)."""
-    _encode_kernel(x_ref, None, state_in_ref, hi_ref, lo_ref, snaps_ref,
+    _encode_kernel(W, x_ref, None, state_in_ref, hi_ref, lo_ref, snaps_ref,
                    state_out_ref, carry_ref)
 
 
@@ -236,42 +236,43 @@ def _encode_kernel_full(x_ref, state_in_ref, hi_ref, lo_ref, snaps_ref,
 def encode_frames_pallas(state, samples, lens):
     """Pallas analog of ops.encode.encode_frames (same contract).
 
-    state (8, N) int32; samples (F, 256, 20, N) int16; lens (F, 256, N)
-    int32.  N must be a multiple of 128.  Returns (new_state,
-    snaps (F, 8, N) int32, word_hi, word_lo (F, 256, N) uint32).
+    state (8, N) int32; samples (F, W, 20, N) int16; lens (F, W, N)
+    int32 (W <= 256 windows per frame; 256 for full frames).  N must be a
+    multiple of 128.  Returns (new_state, snaps (F, 8, N) int32,
+    word_hi, word_lo (F, W, N) uint32).
     """
-    F = samples.shape[0]
+    F, W = samples.shape[0], samples.shape[1]
     N = samples.shape[3]
     assert N % LANES == 0, "pad the chain axis to a multiple of 128"
     n_tiles = N // LANES
 
     grid = (n_tiles, F)
     out_shape = (
-        jax.ShapeDtypeStruct((F, _WPF, N), jnp.uint32),  # hi
-        jax.ShapeDtypeStruct((F, _WPF, N), jnp.uint32),  # lo
+        jax.ShapeDtypeStruct((F, W, N), jnp.uint32),  # hi
+        jax.ShapeDtypeStruct((F, W, N), jnp.uint32),  # lo
         jax.ShapeDtypeStruct((F, 8, N), jnp.int32),  # snaps
         jax.ShapeDtypeStruct((8, N), jnp.int32),  # state out
     )
     hi, lo, snaps, new_state = pl.pallas_call(
-        _encode_kernel,
+        functools.partial(_encode_kernel, W),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, _WPF, _SLEN, LANES),
+                (1, W, _SLEN, LANES),
                 lambda t, f: (f, 0, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+                (1, W, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((8, LANES), lambda t, f: (0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+                (1, W, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+                (1, W, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 8, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
@@ -291,24 +292,24 @@ def encode_frames_pallas_full(state, samples):
     contract otherwise; bit-identical to the masked kernel on full
     windows, ~15% faster (the per-sample masking drops out).
     """
-    F = samples.shape[0]
+    F, W = samples.shape[0], samples.shape[1]
     N = samples.shape[3]
     assert N % LANES == 0, "pad the chain axis to a multiple of 128"
     n_tiles = N // LANES
 
     grid = (n_tiles, F)
     out_shape = (
-        jax.ShapeDtypeStruct((F, _WPF, N), jnp.uint32),  # hi
-        jax.ShapeDtypeStruct((F, _WPF, N), jnp.uint32),  # lo
+        jax.ShapeDtypeStruct((F, W, N), jnp.uint32),  # hi
+        jax.ShapeDtypeStruct((F, W, N), jnp.uint32),  # lo
         jax.ShapeDtypeStruct((F, 8, N), jnp.int32),  # snaps
         jax.ShapeDtypeStruct((8, N), jnp.int32),  # state out
     )
     hi, lo, snaps, new_state = pl.pallas_call(
-        _encode_kernel_full,
+        functools.partial(_encode_kernel_full, W),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, _WPF, _SLEN, LANES),
+                (1, W, _SLEN, LANES),
                 lambda t, f: (f, 0, 0, t),
                 memory_space=pltpu.VMEM,
             ),
@@ -316,10 +317,10 @@ def encode_frames_pallas_full(state, samples):
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+                (1, W, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _WPF, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
+                (1, W, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 8, LANES), lambda t, f: (f, 0, t), memory_space=pltpu.VMEM

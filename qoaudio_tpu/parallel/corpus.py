@@ -123,6 +123,17 @@ def batch_encode(
     chunk = min(chunk_frames, codec._next_pow2(F_max))
     F_pad = -(-F_max // chunk) * chunk
 
+    # Scan only the windows the corpus actually has: any multi-frame file
+    # forces full 256-window frames, but a corpus of sub-frame clips scans
+    # just ceil(max samples / 20) windows (trailing zero-length windows
+    # pass LMS state through unchanged, so dropping them is bit-identical).
+    W_use = max(
+        fmt.QOA_SLICES_PER_FRAME
+        if F > 1
+        else -(-d.samples // fmt.QOA_SLICE_LEN)
+        for (_, d), (_, _, F) in zip(files, layouts)
+    )
+
     # chain offsets per file
     offsets = []
     n = 0
@@ -145,31 +156,49 @@ def batch_encode(
         full_kernel = encode_frames_pallas_full
         f_full_min = min(d.samples // fmt.QOA_FRAME_LEN for _, d in files)
 
-    x = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, fmt.QOA_SLICE_LEN, N), np.int16)
-    lens = np.zeros((F_pad, fmt.QOA_SLICES_PER_FRAME, N), np.int32)
     state = initial_encoder_state(0, N)  # same init weights for every chain
 
-    for (pcm, d), (xf, lf, F), off in zip(files, layouts, offsets):
-        x[:F, :, :, off : off + d.channels] = xf
-        lens[:F, :, off : off + d.channels] = lf[:, :, None]
+    # Chunked scan; the carried state stays on device between chunks.
+    # Memory model: the chain-wide staging array is assembled PER CHUNK
+    # (never the whole corpus — peak host staging is chunk x 256 x 20 x N
+    # int16), and completed chunks drain through a 2-deep staging window,
+    # so chunk k-2's results transfer while chunk k computes (async
+    # dispatch) and peak device memory for outputs is 3 chunks, not the
+    # corpus.  The per-file layouts (~2x the input PCM) are the only
+    # corpus-sized host allocation.
+    from collections import deque
 
-    # chunked scan; the carried state stays on device between chunks
     words_parts = []
     snaps_parts = []
-    staged = []
+    staged = deque()
+
+    def _drain_one():
+        snaps_d, hi_d, lo_d = staged.popleft()
+        snaps_parts.append(np.asarray(snaps_d))
+        words_parts.append(
+            (np.asarray(hi_d).astype(np.uint64) << np.uint64(32))
+            | np.asarray(lo_d).astype(np.uint64)
+        )
+
     for f0 in range(0, F_pad, chunk):
-        cx, cl = x[f0 : f0 + chunk], lens[f0 : f0 + chunk]
+        cx = np.zeros((chunk, W_use, fmt.QOA_SLICE_LEN, N), np.int16)
+        cl = np.zeros((chunk, W_use, N), np.int32)
+        for (pcm, d), (xf, lf, F), off in zip(files, layouts, offsets):
+            k = min(F - f0, chunk)
+            if k > 0:
+                cx[:k, :, :, off : off + d.channels] = xf[f0 : f0 + k, :W_use]
+                cl[:k, :, off : off + d.channels] = lf[
+                    f0 : f0 + k, :W_use, None
+                ]
         if full_kernel is not None and f0 + chunk <= f_full_min:
             state, snaps, hi, lo = full_kernel(state, cx)
         else:
             state, snaps, hi, lo = kernel(state, cx, cl)
         staged.append((snaps, hi, lo))
-    for snaps, hi, lo in staged:
-        snaps_parts.append(np.asarray(snaps))
-        words_parts.append(
-            (np.asarray(hi).astype(np.uint64) << np.uint64(32))
-            | np.asarray(lo).astype(np.uint64)
-        )
+        while len(staged) > 2:
+            _drain_one()
+    while staged:
+        _drain_one()
     snaps = np.concatenate(snaps_parts)  # (F_pad, 8, N)
     words = np.concatenate(words_parts)  # (F_pad, 256, N)
 

@@ -20,10 +20,20 @@ the quirk that a streaming-mode decoder yields an initial default
 with the Default current_frame).  Beyond parity: ``seek_to_frame`` gives
 O(1) random access on fixed-mode streams.
 
-Divergence note: the reference dies permanently if ``decode_frame`` is fed
-a partial frame (its cursor has already consumed bytes).  This decoder
-buffers instead and resumes once the rest of the frame arrives — strictly
-more tolerant, same behavior for whole-frame feeding.
+Divergence notes:
+
+* The reference dies permanently if ``decode_frame`` is fed a partial
+  frame (its cursor has already consumed bytes).  This decoder buffers
+  instead and resumes once the rest of the frame arrives — strictly more
+  tolerant, same behavior for whole-frame feeding.
+* The reference iterator yields ``Some(Err(e))`` once and documents that
+  iteration "should be considered finished" (src/lib.rs:666-667).  The
+  Pythonic equivalent here is that ``__next__`` raises the typed error;
+  subsequent calls raise ``StopIteration``.  The item sequence before the
+  error is identical, including truncation fidelity: an EOF-truncated
+  final frame still yields its header and every complete slice window
+  (src/lib.rs:291-330 reads one u64 per channel per window, so the first
+  incomplete window is where the error lands).
 """
 
 from __future__ import annotations
@@ -141,12 +151,12 @@ class QoaDecoder:
     # -- constructors ------------------------------------------------------
 
     @classmethod
-    def open(cls, path, backend: str = "numpy", readahead: int = 32) -> "QoaDecoder":
+    def open(cls, path, backend: str = "auto", readahead: int = 32) -> "QoaDecoder":
         """Open a file path (reference: src/lib.rs:619-625)."""
         return cls(open(path, "rb"), backend=backend, readahead=readahead)
 
     @classmethod
-    def new_streaming(cls, backend: str = "numpy", readahead: int = 32) -> "QoaDecoder":
+    def new_streaming(cls, backend: str = "auto", readahead: int = 32) -> "QoaDecoder":
         """Decoder for network-streamed frames (src/lib.rs:632-638)."""
         buf = _GrowableBuffer(fmt.pack_file_header(0))
         return cls(buf, backend=backend, readahead=readahead)
@@ -200,23 +210,17 @@ class QoaDecoder:
 
     # -- frame loading -----------------------------------------------------
 
-    def _read_exact(self, n: int, *, eof_ok: bool = False) -> Optional[bytes]:
-        data = self._reader.read(n)
-        if len(data) == n:
-            return data
-        if eof_ok and len(data) == 0:
-            return None
-        if isinstance(self._reader, _GrowableBuffer):
-            # partial frame in a streaming buffer: rewind and wait for more
-            self._reader.rewind(len(data))
-            return None
-        raise IoError("unexpected EOF inside frame")
-
     def _read_frame_record(self) -> Optional[bs.FrameRecord]:
-        """Read one whole frame; None on clean EOF (or incomplete buffer)."""
+        """Read one whole frame; None on clean EOF (or incomplete buffer).
+
+        EOF within the 8 header bytes — even a partial word — is a CLEAN
+        end: the reference maps UnexpectedEof on the header read to
+        Ok(false) (src/lib.rs:205-215)."""
         start_is_growable = isinstance(self._reader, _GrowableBuffer)
-        hdr = self._read_exact(8, eof_ok=True)
-        if hdr is None:
+        hdr = self._reader.read(8)
+        if len(hdr) < 8:
+            if start_is_growable and hdr:
+                self._reader.rewind(len(hdr))
             return None
         word = int.from_bytes(hdr, "big")
         channels, sample_rate, spc, frame_size = fmt.unpack_frame_header(word)
@@ -232,14 +236,23 @@ class QoaDecoder:
                 raise IncompatibleFrame()
 
         n_windows = -(-spc // fmt.QOA_SLICE_LEN)
-        body_len = fmt.QOA_LMS_STATE_BYTES * channels + 8 * n_windows * channels
-        body = self._read_exact(body_len)
-        if body is None:
-            # growable buffer: not enough data yet; un-consume the header
+        lms_len = fmt.QOA_LMS_STATE_BYTES * channels
+        body_len = lms_len + 8 * n_windows * channels
+        body = self._reader.read(body_len)
+        if len(body) < body_len:
             if start_is_growable:
-                self._reader.rewind(8)
+                # streaming buffer: not enough data yet; un-consume all of it
+                self._reader.rewind(len(body) + 8)
                 return None
-            raise IoError("unexpected EOF inside frame")
+            # EOF-truncated frame: the reference reads one u64 per channel
+            # per window (src/lib.rs:291-330), so the frame header + every
+            # COMPLETE window still yield items before the error.  Build a
+            # partial record covering the complete windows and defer the
+            # IoError until the queue drains (_raise_or_stop).
+            if len(body) < lms_len:
+                raise IoError("unexpected EOF inside frame")
+            n_windows = (len(body) - lms_len) // (8 * channels)
+            self._pending_error = IoError("unexpected EOF inside frame")
 
         lms_words = (
             np.frombuffer(body, dtype=">u8", count=2 * channels)
@@ -268,7 +281,27 @@ class QoaDecoder:
 
     def _decode_records(self, recs) -> None:
         """Decode a run of frames with equal (channels, rate) in ONE batched
-        call — frames are decode-parallel — and queue the per-frame blocks."""
+        call — frames are decode-parallel — and queue the per-frame blocks.
+
+        Zero-window frames (spc == 0, or a frame truncated before its first
+        complete window) carry no samples: their header queues directly."""
+        i = 0
+        while i < len(recs):
+            if recs[i][0].n_windows == 0:
+                rec, yield_header = recs[i]
+                hdr = FrameHeader(
+                    rec.channels, rec.sample_rate, rec.samples_per_channel
+                )
+                self._queue.append((hdr, np.empty(0, np.int16), yield_header))
+                i += 1
+                continue
+            j = i
+            while j < len(recs) and recs[j][0].n_windows > 0:
+                j += 1
+            self._decode_group(recs[i:j])
+            i = j
+
+    def _decode_group(self, recs) -> None:
         batch = bs.stack_frames([r for r, _ in recs])
         if self._backend == "jax":
             from .codec import _next_pow2
@@ -297,7 +330,12 @@ class QoaDecoder:
             hdr = FrameHeader(
                 rec.channels, rec.sample_rate, rec.samples_per_channel
             )
-            block = pcm[i, : rec.samples_per_channel].reshape(-1)
+            # a truncated frame carries fewer windows than its declared
+            # sample count needs: only the complete windows' samples yield
+            valid = min(
+                rec.samples_per_channel, rec.n_windows * fmt.QOA_SLICE_LEN
+            )
+            block = pcm[i, :valid].reshape(-1)
             self._queue.append((hdr, block, yield_header))
 
     def _fill_queue(self) -> None:
@@ -309,6 +347,8 @@ class QoaDecoder:
         if self._queue or self._dead:
             return
         while len(self._records) < self._readahead:
+            if self._pending_error is not None:
+                break  # a deferred mid-stream error ends record intake
             try:
                 rec = self._read_frame_record()
             except Exception as e:

@@ -36,8 +36,16 @@ if not os.environ.get("QOA_TEST_TPU"):
 import numpy as np
 import pytest
 
+# The real fixture ships IN this repo (analog of the reference's
+# include_bytes!, src/lib.rs:996) so the SHA-256 goldens in test_native.py
+# run everywhere; QOA_FIXTURE overrides for experiments.
 FIXTURE_PATH = os.environ.get(
-    "QOA_FIXTURE", "/root/reference/fixtures/julien_baker_sprained_ankle.qoa"
+    "QOA_FIXTURE",
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "julien_baker_sprained_ankle.qoa",
+    ),
 )
 
 # Fixture geometry, independently verified by a frame walk (see SURVEY.md §0).

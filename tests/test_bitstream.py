@@ -94,9 +94,14 @@ def test_truncated_stream_errors(fixture_bytes):
     # cut inside the LMS state
     with pytest.raises(IoError):
         bs.parse_file(fixture_bytes[:20])
-    # cut inside a frame header
-    with pytest.raises(IoError):
-        bs.parse_file(fixture_bytes[:12])
+    # cut inside a frame header: CLEAN end — the reference maps
+    # UnexpectedEof on the header word to Ok(false) (src/lib.rs:205-215)
+    assert bs.parse_file(fixture_bytes[:12]).frames == []
+    # cut after a whole frame: clean end with that frame parsed
+    hdr0 = int.from_bytes(fixture_bytes[8:16], "big")
+    fsize = fmt.unpack_frame_header(hdr0)[3]
+    parsed = bs.parse_file(fixture_bytes[: 8 + fsize + 3])
+    assert len(parsed.frames) == 1
 
 
 def test_invalid_frame_header():

@@ -208,3 +208,70 @@ def test_adversarial_weight_wrap_bit_exact():
             except RuntimeError:
                 continue  # backend unavailable
             assert got == want, be
+
+
+@settings(max_examples=80, **_FUZZ_SETTINGS)
+@given(data=st.data())
+def test_hypothesis_truncation_item_fidelity(data):
+    """A truncated stream must yield EXACTLY the reference's item sequence
+    before terminating: EOF within a frame-header word is a clean end
+    (src/lib.rs:205-215); EOF in the LMS state errors with no header
+    yielded; EOF in the slice data yields the header plus every COMPLETE
+    window's samples, then errors (src/lib.rs:291-330 reads one u64 per
+    channel per window)."""
+    from qoaudio_tpu.types import FrameHeader
+
+    pcm = make_stream_pcm()
+    n = len(pcm) // 2
+    stream = codec.encode_all(pcm, QoaDesc(2, 44100, n))
+    full = codec.decode_all(stream).samples
+    cut = data.draw(st.integers(min_value=8, max_value=len(stream)))
+
+    # analytic walk of the reference reader over stream[:cut]
+    exp_headers = 0
+    exp_samples = 0
+    exp_error = False
+    pos = 8
+    while pos < cut:
+        if cut - pos < 8:
+            break  # partial header word: clean end
+        word = int.from_bytes(stream[pos : pos + 8], "big")
+        C, _rate, spc, _fsize = fmt.unpack_frame_header(word)
+        lms = 16 * C
+        if cut - pos - 8 < lms:
+            exp_error = True  # EOF inside the LMS state
+            break
+        nw = -(-spc // 20)
+        avail = (cut - pos - 8 - lms) // (8 * C)
+        k = min(nw, avail)
+        exp_headers += 1
+        exp_samples += min(spc, 20 * k) * 2
+        if k < nw:
+            exp_error = True  # EOF inside the slice data
+            break
+        pos += 8 + lms + 8 * nw * C
+
+    got_headers = 0
+    got = []
+    got_error = False
+    try:
+        dec = QoaDecoder(stream[:cut])
+    except QoaError:
+        # constructor-time failure (no decodable first frame)
+        assert exp_headers == 0
+        return
+    try:
+        for item in dec:
+            if isinstance(item, FrameHeader):
+                got_headers += 1
+            else:
+                got.append(item)
+    except QoaError:
+        got_error = True
+
+    assert got_headers == exp_headers
+    assert len(got) == exp_samples
+    assert got_error == exp_error
+    assert np.array_equal(
+        np.asarray(got, dtype=np.int16), full[:exp_samples]
+    )

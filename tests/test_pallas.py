@@ -83,3 +83,50 @@ def test_pallas_full_window_variant_matches_masked():
     assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
     assert np.array_equal(np.asarray(sn1), np.asarray(sn2))
+
+
+def test_pallas_sharded_one_device_mesh():
+    # the shard_map + Mosaic composition that a real multi-chip pod runs
+    # (corpus._pick_kernel selects it whenever a mesh is given on TPU),
+    # executed here on a 1-device mesh and checked against the XLA kernel
+    from qoaudio_tpu.ops.encode import encode_frames, initial_encoder_state
+    from qoaudio_tpu.parallel.mesh import (
+        encode_frames_pallas_sharded,
+        make_mesh,
+    )
+
+    mesh = make_mesh(n_devices=1)
+    rng = np.random.default_rng(5)
+    F, N = 1, 128
+    x = rng.integers(-32768, 32767, (F, 256, 20, N)).astype(np.int16)
+    lens = np.full((F, 256, N), 20, np.int32)
+    lens[0, 100:] = 0  # padded windows
+    lens[0, 99] = 13  # short final slice
+    state = initial_encoder_state(0, N)
+
+    s1, sn1, hi1, lo1 = encode_frames_pallas_sharded(mesh, state, x, lens)
+    s2, sn2, hi2, lo2 = encode_frames(state, x, lens)
+    assert np.array_equal(np.asarray(hi1), np.asarray(hi2))
+    assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(sn1), np.asarray(sn2))
+
+
+def test_corpus_batch_encode_sharded_pallas_on_tpu():
+    # end-to-end corpus path on the TPU mesh route: chain padding to
+    # 128 x mesh.size, chunked scan through the sharded Mosaic kernel,
+    # per-file reassembly — streams must equal the host engine's
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.parallel.corpus import batch_encode
+    from qoaudio_tpu.parallel.mesh import make_mesh
+    from qoaudio_tpu.types import QoaDesc
+
+    mesh = make_mesh(n_devices=1)
+    rng = np.random.default_rng(6)
+    files = []
+    for spc, ch in ((5130, 2), (2100, 1), (777, 3)):
+        pcm = rng.integers(-28000, 28000, spc * ch).astype(np.int16)
+        files.append((pcm, QoaDesc(ch, 44100, spc)))
+    streams = batch_encode(files, mesh=mesh)
+    for (pcm, d), got in zip(files, streams):
+        assert got == codec.encode_all(pcm, d), (d.channels, d.samples)

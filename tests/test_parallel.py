@@ -169,3 +169,30 @@ def test_batch_decode_streaming_mode_fallback():
     outs = batch_decode([stream, data])
     assert np.array_equal(outs[0].samples, codec.decode_all(stream).samples)
     assert np.array_equal(outs[1].samples, codec.decode_all(data).samples)
+
+
+def test_batch_encode_chunked_staging_many_chunks():
+    """Memory model: assembly and result staging are per-chunk (a 2-deep
+    drain window), so a corpus spanning many chunks must still reassemble
+    every file bit-exactly — including files that end mid-chunk."""
+    files = [
+        (make_noise(5120 * 5 + 17, 2, seed=21), QoaDesc(2, 44100, 5120 * 5 + 17)),
+        (make_noise(5120 * 2 + 1, 1, seed=22), QoaDesc(1, 22050, 5120 * 2 + 1)),
+        (make_noise(999, 2, seed=23), QoaDesc(2, 44100, 999)),
+    ]
+    batched = batch_encode(files, chunk_frames=1)  # 6 chunks, window of 2
+    for (pcm, desc), data in zip(files, batched):
+        assert data == codec.encode_all(pcm, desc)
+
+
+def test_batch_encode_subframe_corpus_trims_windows():
+    """A corpus of sub-frame clips scans only ceil(max/20) windows (the
+    trailing zero-length windows are inert); streams stay bit-exact."""
+    files = [
+        (make_noise(45, 2, seed=31), QoaDesc(2, 44100, 45)),
+        (make_noise(60, 1, seed=32), QoaDesc(1, 44100, 60)),
+        (make_noise(25, 3, seed=33), QoaDesc(3, 8000, 25)),
+    ]
+    batched = batch_encode(files)
+    for (pcm, desc), data in zip(files, batched):
+        assert data == codec.encode_all(pcm, desc)

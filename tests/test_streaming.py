@@ -293,3 +293,66 @@ def test_streaming_mode_format_change():
     assert np.array_equal(s1, codec.decode_all(d1).samples)
     assert np.array_equal(s2, codec.decode_all(d2).samples)
     assert qoa.current_frame_header() == FrameHeader(2, 22050, 300)
+
+
+def test_open_routes_to_native_backend(tmp_path, fixture_bytes):
+    # the documented entry points must default to the FAST backend chain
+    # (auto -> native when the engine builds), not the numpy oracle
+    from qoaudio_tpu import native
+
+    p = tmp_path / "y.qoa"
+    p.write_bytes(fixture_bytes)
+    dec = QoaDecoder.open(p)
+    want = "native" if native.available() else "numpy"
+    assert dec._backend == want
+    assert QoaDecoder.new_streaming()._backend == want
+
+
+def _encode_uniform_frames(pcm, channels, rate, frame_len):
+    """Build a VALID fixed-mode stream whose uniform frames carry
+    ``frame_len`` (< 5120) samples each — allowed by the format (the
+    decoder reads spc from every header, reference src/lib.rs:217-225)."""
+    from qoaudio_tpu.streaming import QoaEncoder
+
+    n = len(pcm) // channels
+    enc = QoaEncoder(QoaDesc(channels, rate, n))
+    import io
+
+    buf = io.BytesIO()
+    enc.write_header(buf)
+    for off in range(0, n, frame_len):
+        end = min(off + frame_len, n)
+        enc.encode_frame(pcm[off * channels : end * channels], buf)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("frame_len", [2560, 2570, 100])
+def test_decode_range_non_default_uniform_frames(frame_len):
+    # decode_range must derive the frame stride from the PARSED uniform
+    # frame size (2570 also exercises spc % 20 != 0, where frames are not
+    # window-aligned and the contiguous interleave layout cannot be used)
+    channels = 2
+    n = frame_len * 3 + frame_len // 2
+    pcm = make_noise(n, channels, seed=13)
+    data = _encode_uniform_frames(pcm, channels, 44100, frame_len)
+
+    from qoaudio_tpu import bitstream as bs
+
+    pa = bs.parse_file_arrays(data)
+    assert pa is not None and int(pa.samples_per_frame[0]) == frame_len
+
+    want = codec.decode_all(data).samples.reshape(-1, channels)
+    assert want.shape[0] == n
+    ranges = [
+        (0, 5),
+        (frame_len - 3, frame_len + 3),
+        (2 * frame_len + 7, 3 * frame_len + 1),
+        (n - 4, n),
+        (7, 7),
+    ]
+    for lo, hi in ranges:
+        out = codec.decode_range(data, lo, hi)
+        assert len(out.samples) == (hi - lo) * channels
+        if hi > lo:
+            got = out.samples.reshape(-1, channels)
+            assert np.array_equal(got, want[lo:hi]), (lo, hi)
