@@ -310,16 +310,19 @@ void qoa_interleave(const int16_t* in, int64_t W, int64_t F, int64_t C,
 // winner = lexicographic argmin (total_rank, first_rank, sf).
 //
 // Search structure (the vector analog of the reference's pruning):
-//  1. sample 0 evaluates on all 16 lanes (one 512-bit step);
-//  2. lanes sort by (first_rank, sf); only the best FOUR continue through
-//     samples 1..len-1 — 4 lanes per channel, so a stereo window's whole
-//     continuation runs on ONE 256-bit vector;
-//  3. a lane s outside the four can only win if first_s < best4_total
-//     (rank accumulation is monotone; ties resolve to the lower sf, which
-//     is in the four by construction).  If any such lane exists — never
-//     observed on real audio, possible adversarially — fall back to the
-//     full 16-lane continuation for that channel.  Either way the result
-//     is exact.
+//  1. sample 0 evaluates on all 16 lanes (one 512-bit step, exact
+//     reciprocal quantizer);
+//  2. PAIRWISE selection: of each (sf j, sf j+8) pair, the better
+//     (first_rank, sf) survives — pure vector blends, no sorting.  The
+//     eight survivors of a channel pair pack into one 512-bit vector and
+//     continue through samples 1..len-1 on the THRESHOLD quantizer
+//     (precomputed residual boundaries instead of the 10-cycle-latency
+//     reciprocal multiply; lanes whose residual could wrap the reference
+//     multiply flag the window for an exact full-16 re-evaluation);
+//  3. a discarded lane s can only win if first_s <= best8_total (rank
+//     accumulation is monotone); the qualifying few (~0.3/window on real
+//     audio) evaluate SCALAR with early abandon against the exact bound.
+//     Either way the result is exact.
 // ---------------------------------------------------------------------------
 }  // extern "C"
 
@@ -397,19 +400,29 @@ __attribute__((always_inline)) inline void step16(Full16& S, int32_t sample_s, i
 // Continuation state: the top-8 surviving scalefactor candidates of TWO
 // channels packed into ONE full-width vector (lanes 0-7 = channel a,
 // lanes 8-15 = channel b), with per-lane gathered constants.  Full-width
-// packing matters: integer vector ops cost the same per instruction at
-// 256 and 512 bits here, so throughput comes from fewer vectors, not
-// narrower ones.
+// fused packing measured FASTER than one 256-bit chain per channel: two
+// independent 17-vector register chains exceed the 32-register file and
+// the spill traffic costs more than the exposed ILP buys.
+//
+// The quantizer here is the THRESHOLD form: the reference's
+// reciprocal-multiply (a second 10-cycle vpmulld on the step's critical
+// path) is replaced by comparing the residual against per-scalefactor
+// precomputed level boundaries — exact wherever the reference's wrapping
+// multiply does not wrap (|residual| <= kWrapLim[sf]).  Wrap-risk lanes
+// (~0.6% of windows on real music) set a flag and the whole window
+// re-evaluates on the exact full-16 path.
 struct Cont16 {
   v16i H0, H1, H2, H3, W0, W1, W2, W3;
-  v16i recip, M0, M1, M2, M3;
+  v16i M0, D1, D2, D3;          // mag0 and successive mag deltas
+  v16i T2P, T4P, T6P;           // residual >= Tk  => scaled >= k  (r > 0)
+  v16i T2N, T4N, T6N;           // residual <= Tk  => scaled <= -k (r < 0)
+  v16i WLIM;                    // |residual| > WLIM => wrap risk
   v16u rank_lo, rank_hi, word_hi, word_lo;
 };
 
 __attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
-                                                   int k) {
+                                                   int k, v16i& wrapflag) {
   const v16i kZero = vbroadcast(0);
-  const v16i kOne = vbroadcast(1);
   v16i p = (v16i)((v16u)S.W0 * (v16u)S.H0 + (v16u)S.W1 * (v16u)S.H1 +
                   (v16u)S.W2 * (v16u)S.H2 + (v16u)S.W3 * (v16u)S.H3) >> 13;
   v16i ssum = (v16i)((v16u)S.W0 * (v16u)S.W0 + (v16u)S.W1 * (v16u)S.W1 +
@@ -417,22 +430,20 @@ __attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
   v16i pen = (ssum >> 18) - 0x8FF;
   pen = pen < kZero ? kZero : pen;
   v16i residual = (v16i)((v16u)sample - (v16u)p);
-  v16i nr = (v16i)((v16u)residual * (v16u)S.recip + (1u << 15)) >> 16;
-  // sign via arithmetic shifts: sign(v) = (v>>31) - ((-v)>>31).  Exact
-  // here: residual is bounded by |sample| + |prediction| < 2^19 and nr by
-  // 2^15, so neither can be INT_MIN (the only value the identity
-  // mishandles).  Cheaper than comparison masks (no k-register round trip).
-  v16i sgn_r = (residual >> 31) - ((kZero - residual) >> 31);
-  v16i sgn_n = (nr >> 31) - ((kZero - nr) >> 31);
-  v16i scaled = nr + sgn_r - sgn_n;
-  scaled = scaled < vbroadcast(-8) ? vbroadcast(-8) : scaled;
-  scaled = scaled > vbroadcast(8) ? vbroadcast(8) : scaled;
-  v16i q = __builtin_shuffle(kQuantLo, kQuantHi, scaled + vbroadcast(8));
-  v16i idx = q >> 1;
-  v16i m01 = idx == kZero ? S.M0 : S.M1;
-  v16i m23 = idx == vbroadcast(2) ? S.M2 : S.M3;
-  v16i m = idx < vbroadcast(2) ? m01 : m23;
-  v16i dq = (q & kOne) == kOne ? kZero - m : m;
+  // threshold quantizer (see struct comment): level masks are -1/0.
+  // The two sides are mutually exclusive (T*N < 0 <= T*P), so each level
+  // mask is a plain OR of two independent compares — no sign blend on the
+  // critical path.
+  v16i negm = residual < kZero;
+  v16i c2 = (residual >= S.T2P) | (residual <= S.T2N);
+  v16i c4 = (residual >= S.T4P) | (residual <= S.T4N);
+  v16i c6 = (residual >= S.T6P) | (residual <= S.T6N);
+  v16i absr = (residual ^ negm) - negm;
+  wrapflag |= (v16i)(absr > S.WLIM);
+  v16i csum = c2 + c4 + c6;  // 0 .. -3 == -idx
+  v16i m = S.M0 + (c2 & S.D1) + (c4 & S.D2) + (c6 & S.D3);
+  v16i q = kZero - ((csum << 1) + negm);  // (idx << 1) | (residual < 0)
+  v16i dq = (m ^ negm) - negm;  // negative residuals take -mag (odd codes)
   v16i r = (v16i)((v16u)p + (v16u)dq);
   r = r < vbroadcast(-32768) ? vbroadcast(-32768) : r;
   r = r > vbroadcast(32767) ? vbroadcast(32767) : r;
@@ -465,29 +476,53 @@ __attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
   S.H3 = r;
 }
 
-// Branchless 16-element sort (Batcher odd-even merge network, 63
-// compare-exchanges on cmov-friendly u64 keys).  An insertion sort here
-// costs ~15 branch mispredicts per window-channel — measured 30 ms on the
-// fixture encode, a quarter of the whole kernel.
-inline void sort16_network(uint64_t* k) {
-  static constexpr uint8_t net[63][2] = {
-      {0, 1},   {2, 3},   {0, 2},   {1, 3},   {1, 2},   {4, 5},   {6, 7},
-      {4, 6},   {5, 7},   {5, 6},   {0, 4},   {2, 6},   {2, 4},   {1, 5},
-      {3, 7},   {3, 5},   {1, 2},   {3, 4},   {5, 6},   {8, 9},   {10, 11},
-      {8, 10},  {9, 11},  {9, 10},  {12, 13}, {14, 15}, {12, 14}, {13, 15},
-      {13, 14}, {8, 12},  {10, 14}, {10, 12}, {9, 13},  {11, 15}, {11, 13},
-      {9, 10},  {11, 12}, {13, 14}, {0, 8},   {4, 12},  {4, 8},   {2, 10},
-      {6, 14},  {6, 10},  {2, 4},   {6, 8},   {10, 12}, {1, 9},   {5, 13},
-      {5, 9},   {3, 11},  {7, 15},  {7, 11},  {3, 5},   {7, 9},   {11, 13},
-      {1, 2},   {3, 4},   {5, 6},   {7, 8},   {9, 10},  {11, 12}, {13, 14},
-  };
-  for (auto& p : net) {
-    uint64_t a = k[p[0]], b = k[p[1]];
-    uint64_t lo = a < b ? a : b;
-    uint64_t hi = a < b ? b : a;
-    k[p[0]] = lo;
-    k[p[1]] = hi;
-  }
+// Exact threshold tables (host-derived integer boundaries of the
+// reference's qoa_div, valid while it does not wrap):
+//   n >= k  (r > 0)  iff  r >= ceil((k*2^16 - 2^15) / recip)
+//   n <= -k (r < 0)  iff  r <= -(((k-1)*2^16 + 2^15) / recip) - 1
+// and for |r| <= kWrapLim[sf] = (2^31 - 1 - 2^15) / recip the multiply
+// r*recip + 2^15 cannot wrap, so the boundaries reproduce qoa_div exactly.
+inline constexpr int32_t thr_pos(int32_t recip, int32_t k) {
+  return (int32_t)(((int64_t)k * 65536 - 32768 + recip - 1) / recip);
+}
+inline constexpr int32_t thr_neg(int32_t recip, int32_t k) {
+  return (int32_t)(-((((int64_t)(k - 1) * 65536 + 32768) / recip) + 1));
+}
+#define V16_FROM_RECIP(expr)                                             \
+  v16i{expr(kRecipTab[0]),  expr(kRecipTab[1]),  expr(kRecipTab[2]),     \
+       expr(kRecipTab[3]),  expr(kRecipTab[4]),  expr(kRecipTab[5]),     \
+       expr(kRecipTab[6]),  expr(kRecipTab[7]),  expr(kRecipTab[8]),     \
+       expr(kRecipTab[9]),  expr(kRecipTab[10]), expr(kRecipTab[11]),    \
+       expr(kRecipTab[12]), expr(kRecipTab[13]), expr(kRecipTab[14]),    \
+       expr(kRecipTab[15])}
+#define QOA_T2P(v) thr_pos(v, 2)
+#define QOA_T4P(v) thr_pos(v, 4)
+#define QOA_T6P(v) thr_pos(v, 6)
+#define QOA_T2N(v) thr_neg(v, 2)
+#define QOA_T4N(v) thr_neg(v, 4)
+#define QOA_T6N(v) thr_neg(v, 6)
+#define QOA_WLIM(v) ((int32_t)((0x7FFFFFFFLL - 32768) / (v)))
+const v16i kT2PV = V16_FROM_RECIP(QOA_T2P);
+const v16i kT4PV = V16_FROM_RECIP(QOA_T4P);
+const v16i kT6PV = V16_FROM_RECIP(QOA_T6P);
+const v16i kT2NV = V16_FROM_RECIP(QOA_T2N);
+const v16i kT4NV = V16_FROM_RECIP(QOA_T4N);
+const v16i kT6NV = V16_FROM_RECIP(QOA_T6N);
+const v16i kWLimV = V16_FROM_RECIP(QOA_WLIM);
+const v16i kD1V = kMag1V - kMag0V;
+const v16i kD2V = kMag2V - kMag1V;
+const v16i kD3V = kMag3V - kMag2V;
+
+// lane permutation helpers for the pairwise selection
+const v16i kIota07 = {0, 1, 2, 3, 4, 5, 6, 7, 0, 1, 2, 3, 4, 5, 6, 7};
+inline v16i swap8(v16i v) {  // swap 256-bit halves (one vshufi32x4)
+  const v16i kSwap = {8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7};
+  return __builtin_shuffle(v, kSwap);
+}
+inline v16i combine_lo(v16i a, v16i b) {  // lanes 0-7 of a ++ lanes 0-7 of b
+  const v16i kComb = {0, 1, 2, 3, 4, 5, 6, 7,
+                      16, 17, 18, 19, 20, 21, 22, 23};
+  return __builtin_shuffle(a, b, kComb);
 }
 
 // one straggler scalefactor lane, scalar, with early abandon vs the bound
@@ -550,6 +585,58 @@ inline bool eval_lane_tail(const int16_t* xw, int C, int c, int len, int sf,
   return true;
 }
 
+// Exact whole-window fallback: all 16 candidates over samples 0..len-1
+// with the reference's wrapping reciprocal quantizer (step16), winner by
+// lexicographic (total, first, sf).  Runs when the threshold quantizer
+// flags wrap risk in any surviving lane (~0.6% of windows on real music;
+// adversarial weight regimes).  Reads the channel's window-start state
+// (unmodified until the winner writes back) and emits word + new state.
+static void exact_window_channel(const int16_t* xw, int C, int c, int len,
+                                 int32_t* state, uint64_t* word_out) {
+  Full16 S;
+  S.H0 = vbroadcast(state[0 * C + c]);
+  S.H1 = vbroadcast(state[1 * C + c]);
+  S.H2 = vbroadcast(state[2 * C + c]);
+  S.H3 = vbroadcast(state[3 * C + c]);
+  S.W0 = vbroadcast(state[4 * C + c]);
+  S.W1 = vbroadcast(state[5 * C + c]);
+  S.W2 = vbroadcast(state[6 * C + c]);
+  S.W3 = vbroadcast(state[7 * C + c]);
+  S.rank_lo = v16u{};
+  S.rank_hi = v16u{};
+  S.word_hi = kSfBitsV;
+  S.word_lo = v16u{};
+  uint64_t firsts_l[kNumSf];
+  for (int k = 0; k < len; ++k) {
+    step16(S, xw[k * C + c], k);
+    if (k == 0)
+      for (int s = 0; s < kNumSf; ++s)
+        firsts_l[s] = (uint64_t(S.rank_hi[s]) << 32) | S.rank_lo[s];
+  }
+  int bs = 0;
+  uint64_t bt = ~0ull, bf = ~0ull;
+  for (int s = 0; s < kNumSf; ++s) {
+    const uint64_t total = (uint64_t(S.rank_hi[s]) << 32) | S.rank_lo[s];
+    const uint64_t first = firsts_l[s];
+    // ascending s with strict compares keeps the lowest sf on full ties
+    if (total < bt || (total == bt && first < bf)) {
+      bs = s;
+      bt = total;
+      bf = first;
+    }
+  }
+  *word_out =
+      (uint64_t((uint32_t)S.word_hi[bs]) << 32) | (uint32_t)S.word_lo[bs];
+  state[0 * C + c] = S.H0[bs];
+  state[1 * C + c] = S.H1[bs];
+  state[2 * C + c] = S.H2[bs];
+  state[3 * C + c] = S.H3[bs];
+  state[4 * C + c] = S.W0[bs];
+  state[5 * C + c] = S.W1[bs];
+  state[6 * C + c] = S.W2[bs];
+  state[7 * C + c] = S.W3[bs];
+}
+
 template <int C>
 void encode_windows_c(const int16_t* __restrict__ x,
                       const int32_t* __restrict__ lens, int64_t W,
@@ -557,15 +644,28 @@ void encode_windows_c(const int16_t* __restrict__ x,
                       uint64_t* __restrict__ words) {
   constexpr int NV = (C + 1) / 2;  // continuation vectors: 2 channels each
   Full16 F[C];
-  uint64_t firsts[C][kNumSf];
-  int order[C][kNumSf];
+  v16i msel[C];        // pairwise keep masks: lane j -1 => keep sf j+8
+  v16u dfirst_lo[C];   // discarded (pair loser) first ranks, lanes 0-7
+  v16u dfirst_hi[C];
+  v16i sfkept[C];      // kept sf ids, lanes 0-7
+  v16u kfirst_lo[NV];  // kept first ranks (pair-vector layout)
+  v16u kfirst_hi[NV];
+  v16i sfpair[NV];     // kept sf ids (pair-vector layout)
 
   for (int64_t w = 0; w < W; ++w) {
     const int len = lens[w];
     if (len <= 0) continue;
     const int16_t* xw = x + w * kSliceLen * C;
 
-    // ---- sample 0 on all 16 lanes, every channel ----
+    // ---- sample 0 on all 16 lanes, every channel, then the PAIRWISE
+    //      selection: of each (sf j, sf j+8) pair the better first-sample
+    //      rank continues (ties keep the lower sf).  Any eight survivors
+    //      are EXACT here — every discarded candidate is re-checked
+    //      against the final bound in the straggler pass — and pairing 8
+    //      scales apart keeps near-optimal candidates in separate pairs.
+    //      All selection runs as vector blends: no sorting network, no
+    //      16-lane scalar key extraction (those cost ~1/6 of the whole
+    //      encode at the previous revision).
     for (int c = 0; c < C; ++c) {
       Full16& S = F[c];
       S.H0 = vbroadcast(state[0 * C + c]);
@@ -581,52 +681,61 @@ void encode_windows_c(const int16_t* __restrict__ x,
       S.word_hi = kSfBitsV;
       S.word_lo = v16u{};
       step16(S, xw[c], 0);
-      // sort lanes by (first_rank, sf): pack the key as (first << 4) | sf
-      // (first < 2^37 — one sample's err^2 + pen^2 — so the pack is exact)
-      // and run the branchless network
-      uint64_t keys[kNumSf];
-      for (int s = 0; s < kNumSf; ++s) {
-        firsts[c][s] = (uint64_t(S.rank_hi[s]) << 32) | S.rank_lo[s];
-        keys[s] = (firsts[c][s] << 4) | uint64_t(s);
-      }
-      sort16_network(keys);
-      for (int j = 0; j < kNumSf; ++j) order[c][j] = int(keys[j] & 15);
+      const v16u rlo = (v16u)swap8((v16i)S.rank_lo);
+      const v16u rhi = (v16u)swap8((v16i)S.rank_hi);
+      // strict 2-limb unsigned (rot < cur): equal firsts keep the lower sf
+      const v16i lt = (v16i)((rhi < S.rank_hi) |
+                             ((rhi == S.rank_hi) & (rlo < S.rank_lo)));
+      msel[c] = lt;
+      dfirst_lo[c] = lt ? S.rank_lo : rlo;
+      dfirst_hi[c] = lt ? S.rank_hi : rhi;
+      sfkept[c] = kIota07 + (lt & vbroadcast(8));
     }
 
-    // ---- gather the top-8 survivors of channel pairs into full vectors
-    //      (one two-source vpermi2d per value) ----
+    // ---- blend the survivors of channel pairs into full vectors (the
+    //      threshold-quantizer constants gather from the global per-sf
+    //      tables by the kept sf ids) ----
     Cont16 K[NV];
+    v16i wrapflag[NV];
     for (int v = 0; v < NV; ++v) {
       Cont16& S = K[v];
+      wrapflag[v] = v16i{};
       const int ca = 2 * v;
       const int cb = (2 * v + 1 < C) ? 2 * v + 1 : ca;
-      v16i idx;
-      v16i sfv;
-      for (int l = 0; l < 8; ++l) {
-        idx[l] = order[ca][l];
-        idx[l + 8] = 16 + order[cb][l];
-        sfv[l] = order[ca][l];
-        sfv[l + 8] = order[cb][l];
-      }
       const Full16& A = F[ca];
       const Full16& B = F[cb];
-      S.H0 = __builtin_shuffle(A.H0, B.H0, idx);
-      S.H1 = __builtin_shuffle(A.H1, B.H1, idx);
-      S.H2 = __builtin_shuffle(A.H2, B.H2, idx);
-      S.H3 = __builtin_shuffle(A.H3, B.H3, idx);
-      S.W0 = __builtin_shuffle(A.W0, B.W0, idx);
-      S.W1 = __builtin_shuffle(A.W1, B.W1, idx);
-      S.W2 = __builtin_shuffle(A.W2, B.W2, idx);
-      S.W3 = __builtin_shuffle(A.W3, B.W3, idx);
-      S.rank_lo = (v16u)__builtin_shuffle((v16i)A.rank_lo, (v16i)B.rank_lo, idx);
-      S.rank_hi = (v16u)__builtin_shuffle((v16i)A.rank_hi, (v16i)B.rank_hi, idx);
-      S.word_hi = (v16u)__builtin_shuffle((v16i)A.word_hi, (v16i)B.word_hi, idx);
-      S.word_lo = (v16u)__builtin_shuffle((v16i)A.word_lo, (v16i)B.word_lo, idx);
-      S.recip = __builtin_shuffle(kRecipV, sfv);
+      const v16i la = msel[ca];
+      const v16i lb = msel[cb];
+      auto pick = [&](v16i av, v16i bv) {
+        return combine_lo(la ? swap8(av) : av, lb ? swap8(bv) : bv);
+      };
+      S.H0 = pick(A.H0, B.H0);
+      S.H1 = pick(A.H1, B.H1);
+      S.H2 = pick(A.H2, B.H2);
+      S.H3 = pick(A.H3, B.H3);
+      S.W0 = pick(A.W0, B.W0);
+      S.W1 = pick(A.W1, B.W1);
+      S.W2 = pick(A.W2, B.W2);
+      S.W3 = pick(A.W3, B.W3);
+      S.rank_lo = (v16u)pick((v16i)A.rank_lo, (v16i)B.rank_lo);
+      S.rank_hi = (v16u)pick((v16i)A.rank_hi, (v16i)B.rank_hi);
+      S.word_hi = (v16u)pick((v16i)A.word_hi, (v16i)B.word_hi);
+      S.word_lo = (v16u)pick((v16i)A.word_lo, (v16i)B.word_lo);
+      const v16i sfv = combine_lo(sfkept[ca], sfkept[cb]);
       S.M0 = __builtin_shuffle(kMag0V, sfv);
-      S.M1 = __builtin_shuffle(kMag1V, sfv);
-      S.M2 = __builtin_shuffle(kMag2V, sfv);
-      S.M3 = __builtin_shuffle(kMag3V, sfv);
+      S.D1 = __builtin_shuffle(kD1V, sfv);
+      S.D2 = __builtin_shuffle(kD2V, sfv);
+      S.D3 = __builtin_shuffle(kD3V, sfv);
+      S.T2P = __builtin_shuffle(kT2PV, sfv);
+      S.T4P = __builtin_shuffle(kT4PV, sfv);
+      S.T6P = __builtin_shuffle(kT6PV, sfv);
+      S.T2N = __builtin_shuffle(kT2NV, sfv);
+      S.T4N = __builtin_shuffle(kT4NV, sfv);
+      S.T6N = __builtin_shuffle(kT6NV, sfv);
+      S.WLIM = __builtin_shuffle(kWLimV, sfv);
+      kfirst_lo[v] = S.rank_lo;  // at this point rank == first-sample rank
+      kfirst_hi[v] = S.rank_hi;
+      sfpair[v] = sfv;
     }
 
     // ---- continuation: samples 1..len-1, top-8 lanes per channel ----
@@ -637,7 +746,7 @@ void encode_windows_c(const int16_t* __restrict__ x,
         const int32_t sb = xp[2 * v + 1 < C ? 2 * v + 1 : 2 * v];
         v16i sample = {sa, sa, sa, sa, sa, sa, sa, sa,
                        sb, sb, sb, sb, sb, sb, sb, sb};
-        step16g(K[v], sample, k);
+        step16g(K[v], sample, k, wrapflag[v]);
       }
     }
 
@@ -645,22 +754,40 @@ void encode_windows_c(const int16_t* __restrict__ x,
     for (int c = 0; c < C; ++c) {
       const Cont16& S = K[c / 2];
       const int base = (c & 1) ? 8 : 0;
+
+      // wrap risk in any surviving lane: the threshold quantizer may have
+      // diverged from the wrapping reference multiply — re-evaluate the
+      // whole window for this channel on the exact full-16 path
+      {
+        uint64_t acc[8];
+        std::memcpy(acc, &wrapflag[c / 2], 64);
+        if (acc[base / 2] | acc[base / 2 + 1] | acc[base / 2 + 2] |
+            acc[base / 2 + 3]) {
+          ++g_fallback_count;
+          exact_window_channel(xw, C, c, len, state, &words[w * C + c]);
+          continue;
+        }
+      }
+
+      // branchless winner scan: the comparisons are data-random, so
+      // conditional moves beat ~50%-mispredicting branches
       int bj = 0;
-      uint64_t b_total = 0, b_first = 0;
-      int b_sf = 0;
+      uint64_t b_total = ~0ull, b_first = ~0ull;
+      int b_sf = 16;
       for (int j = 0; j < 8; ++j) {
         const int l = base + j;
         const uint64_t total = (uint64_t(S.rank_hi[l]) << 32) | S.rank_lo[l];
-        const int sf = order[c][j];
-        const uint64_t first = firsts[c][sf];
-        if (j == 0 || total < b_total ||
-            (total == b_total &&
-             (first < b_first || (first == b_first && sf < b_sf)))) {
-          bj = j;
-          b_total = total;
-          b_first = first;
-          b_sf = sf;
-        }
+        const int sf = sfpair[c / 2][l];
+        const uint64_t first =
+            (uint64_t(kfirst_hi[c / 2][l]) << 32) | kfirst_lo[c / 2][l];
+        const bool better =
+            (total < b_total) |
+            ((total == b_total) &
+             ((first < b_first) | ((first == b_first) & (sf < b_sf))));
+        bj = better ? j : bj;
+        b_total = better ? total : b_total;
+        b_first = better ? first : b_first;
+        b_sf = better ? sf : b_sf;
       }
       // materialize the survivors' best as the running winner
       ScalarLane B;
@@ -679,17 +806,31 @@ void encode_windows_c(const int16_t* __restrict__ x,
             (uint64_t((uint32_t)S.word_hi[l]) << 32) | (uint32_t)S.word_lo[l];
       }
 
-      // Stragglers: a pruned lane can win only if its first-sample rank is
-      // strictly below the winner's total (rank accumulation is monotone;
-      // on full ties the lower sf — among the survivors — wins).  The few
-      // that qualify evaluate SCALAR with early abandon against the exact
-      // bound, in ascending-first order, exactly like the reference's
-      // sorted search (src/lib.rs:544-593) but with a near-optimal bound
-      // from the start.
-      for (int j = 8; j < kNumSf; ++j) {
-        const int s = order[c][j];
-        const uint64_t fs = firsts[c][s];
-        if (fs >= b_total) break;  // ascending firsts: all later prune too
+      // Stragglers: a pruned lane can still win if its first-sample rank
+      // does not exceed the winner's total (rank accumulation is
+      // monotone); with the pairwise kept set the tie case fs == b_total
+      // MUST evaluate, because the discarded lane may beat the kept
+      // winner on the (first, sf) tie-break.  The few that qualify
+      // evaluate SCALAR with early abandon against the exact bound, like
+      // the reference's sorted search (src/lib.rs:544-593) but with a
+      // near-optimal bound from the start.
+      // vectorized qualification: one 2-limb compare of all 8 discarded
+      // firsts against the bound; ~84% of windows skip the whole scan
+      {
+        const v16u bt_lo = (v16u)vbroadcast((int32_t)(uint32_t)b_total);
+        const v16u bt_hi = (v16u)vbroadcast((int32_t)(uint32_t)(b_total >> 32));
+        const v16i ok = (v16i)((dfirst_hi[c] < bt_hi) |
+                               ((dfirst_hi[c] == bt_hi) &
+                                (dfirst_lo[c] <= bt_lo)));
+        uint64_t accq[8];
+        std::memcpy(accq, &ok, 64);
+        if (!(accq[0] | accq[1] | accq[2] | accq[3])) goto no_stragglers;
+      }
+      for (int j = 0; j < 8; ++j) {
+        const uint64_t fs =
+            (uint64_t(dfirst_hi[c][j]) << 32) | dfirst_lo[c][j];
+        if (fs > b_total) continue;
+        const int s = sfkept[c][j] ^ 8;  // the pair's OTHER scalefactor
         ++g_fallback_count;
         const Full16& G = F[c];
         ScalarLane L;
@@ -714,6 +855,7 @@ void encode_windows_c(const int16_t* __restrict__ x,
         }
       }
 
+    no_stragglers:
       words[w * C + c] = B.word;
       state[0 * C + c] = B.h0;
       state[1 * C + c] = B.h1;

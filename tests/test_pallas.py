@@ -130,3 +130,32 @@ def test_corpus_batch_encode_sharded_pallas_on_tpu():
     streams = batch_encode(files, mesh=mesh)
     for (pcm, d), got in zip(files, streams):
         assert got == codec.encode_all(pcm, d), (d.channels, d.samples)
+
+
+def test_pallas_wide_block_matches_xla_kernel():
+    # N=512 picks the 256-lane production block (two 128-chain groups per
+    # plane); must stay bit-exact vs the XLA kernel, and explicit block
+    # widths must agree with each other
+    from qoaudio_tpu.ops.encode import encode_frames, initial_encoder_state
+    from qoaudio_tpu.ops.pallas_encode import (
+        _pick_block,
+        encode_frames_pallas,
+    )
+
+    assert _pick_block(512) == 256
+    rng = np.random.default_rng(17)
+    F, N = 1, 512
+    x = rng.integers(-32768, 32767, (F, 256, 20, N)).astype(np.int16)
+    lens = np.full((F, 256, N), 20, np.int32)
+    lens[0, 250:] = 0
+    lens[0, 249] = 11
+    state = initial_encoder_state(0, N)
+    s1, sn1, hi1, lo1 = encode_frames_pallas(state, x, lens)  # default 256
+    s2, sn2, hi2, lo2 = encode_frames(state, x, lens)
+    assert np.array_equal(np.asarray(hi1), np.asarray(hi2))
+    assert np.array_equal(np.asarray(lo1), np.asarray(lo2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(sn1), np.asarray(sn2))
+    s3, sn3, hi3, lo3 = encode_frames_pallas(state, x, lens, block_lanes=512)
+    assert np.array_equal(np.asarray(hi3), np.asarray(hi2))
+    assert np.array_equal(np.asarray(lo3), np.asarray(lo2))
