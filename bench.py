@@ -93,6 +93,25 @@ def bench_host_paths(data, pcm, channels, spc):
     log(f"host decode end-to-end: {best*1e3:.1f} ms = {out['decode_e2e_msps']} Msps"
         f" (Rust {RUST_DECODE_MSPS})")
 
+    # streaming-iterator path with the async readahead pipeline (the
+    # prefetch worker decodes batch k+1 while the consumer drains batch k)
+    from qoaudio_tpu.streaming import QoaDecoder
+
+    best = float("inf")
+    hits = 0
+    for _ in range(6):
+        dec = QoaDecoder(data, prefetch=True)
+        with Stopwatch() as sw:
+            n = len(dec.decode_pending())
+        assert n == total
+        best = min(best, sw.elapsed)
+        hits = dec.prefetch_hits
+    out["decode_stream_msps"] = round(total / best / 1e6, 1)
+    log(
+        f"host streaming decode (async readahead): {best*1e3:.1f} ms = "
+        f"{out['decode_stream_msps']} Msps ({hits} prefetched batches)"
+    )
+
     desc = QoaDesc(channels, 44100, spc)
     best = float("inf")
     for _ in range(12):  # single-core host: min-of-many rides out scheduler noise

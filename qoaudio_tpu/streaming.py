@@ -91,14 +91,24 @@ class QoaDecoder:
     headers.  Bulk access: ``read_samples`` / ``decode_pending``.
     """
 
-    def __init__(self, source, backend: str = "auto", readahead: int = 32):
+    def __init__(self, source, backend: str = "auto", readahead: int = 32,
+                 prefetch: Optional[bool] = None):
         """``readahead``: frames decoded per staging batch.  Frames are
         decode-parallel (each carries its LMS seed), so staging many at once
         costs the same wall time as one — the TPU-idiomatic default.  Use
         ``readahead=1`` for strict frame-at-a-time IO.
 
         ``backend``: "auto" (native host engine, falling back to numpy),
-        "native", "numpy", or "jax" (the batched device kernel)."""
+        "native", "numpy", or "jax" (the batched device kernel).
+
+        ``prefetch``: pipeline the NEXT batch's read+decode on a worker
+        thread while the consumer drains the current one (the host-IO /
+        device-compute overlap axis, SURVEY.md §2.2 PP; the native/jax
+        decode calls release the GIL, so the overlap is real).  Default:
+        enabled whenever ``readahead > 1`` on a file-like source —
+        in-memory ``bytes`` have no IO latency to hide, so they stay
+        synchronous unless explicitly requested."""
+        in_memory = isinstance(source, (bytes, bytearray, memoryview))
         self._reader = _as_reader(source)
         if backend == "auto":
             from . import native
@@ -126,6 +136,14 @@ class QoaDecoder:
         self._records = deque()  # parsed but not yet decoded FrameRecords
         self._pending_error: Optional[Exception] = None
         self._mode: Optional[ProcessingMode] = None  # set below
+        if prefetch is None:
+            prefetch = self._readahead > 1 and not in_memory
+        self._prefetch_enabled = prefetch and not isinstance(
+            self._reader, _GrowableBuffer
+        )
+        self._prefetch_future = None
+        self._executor = None
+        self.prefetch_hits = 0  # batches served that were decoded ahead
 
         if total_samples == 0:
             self._mode = Streaming()
@@ -177,6 +195,7 @@ class QoaDecoder:
 
     def into_inner(self):
         """Return the underlying reader; the decoder must not be used after."""
+        self._drain_prefetch()
         self._dead = True
         return self._reader
 
@@ -199,6 +218,7 @@ class QoaDecoder:
         n_frames = -(-self._mode.samples // self._first_frame_samples)
         if not 0 <= index < n_frames:
             raise IoError(f"frame index {index} out of range 0..{n_frames - 1}")
+        self._drain_prefetch()  # the worker shares the reader cursor
         self._reader.seek(fmt.QOA_HEADER_SIZE + index * self._first_frame_size)
         self._pending = np.empty(0, dtype=np.int16)
         self._pending_idx = 0
@@ -254,10 +274,12 @@ class QoaDecoder:
             n_windows = (len(body) - lms_len) // (8 * channels)
             self._pending_error = IoError("unexpected EOF inside frame")
 
-        lms_words = (
-            np.frombuffer(body, dtype=">u8", count=2 * channels)
-            .astype(np.uint64)
-            .reshape(channels, 2)
+        # LMS state is 4 x i16 history + 4 x i16 weights per channel, all
+        # big-endian: one typed view replaces per-word shift/mask unpacking
+        lms = (
+            np.frombuffer(body, dtype=">i2", count=8 * channels)
+            .astype(np.int32)
+            .reshape(channels, 2, 4)
         )
         words = (
             np.frombuffer(
@@ -274,17 +296,19 @@ class QoaDecoder:
             sample_rate=sample_rate,
             samples_per_channel=spc,
             frame_size=frame_size,
-            lms_history=bs.unpack_lms(lms_words[:, 0]),
-            lms_weights=bs.unpack_lms(lms_words[:, 1]),
+            lms_history=lms[:, 0],
+            lms_weights=lms[:, 1],
             slice_words=words,
         )
 
-    def _decode_records(self, recs) -> None:
+    def _decode_records(self, recs) -> list:
         """Decode a run of frames with equal (channels, rate) in ONE batched
-        call — frames are decode-parallel — and queue the per-frame blocks.
+        call — frames are decode-parallel — returning the per-frame queue
+        items.
 
         Zero-window frames (spc == 0, or a frame truncated before its first
-        complete window) carry no samples: their header queues directly."""
+        complete window) carry no samples: their header passes through."""
+        items = []
         i = 0
         while i < len(recs):
             if recs[i][0].n_windows == 0:
@@ -292,21 +316,42 @@ class QoaDecoder:
                 hdr = FrameHeader(
                     rec.channels, rec.sample_rate, rec.samples_per_channel
                 )
-                self._queue.append((hdr, np.empty(0, np.int16), yield_header))
+                items.append((hdr, np.empty(0, np.int16), yield_header))
                 i += 1
                 continue
             j = i
             while j < len(recs) and recs[j][0].n_windows > 0:
                 j += 1
-            self._decode_group(recs[i:j])
+            items.extend(self._decode_group(recs[i:j]))
             i = j
+        return items
 
-    def _decode_group(self, recs) -> None:
-        batch = bs.stack_frames([r for r, _ in recs])
-        if self._backend == "jax":
+    def _decode_group(self, recs) -> list:
+        if self._backend == "native":
+            from . import native
+
+            # chain arrays straight from the records: the native engine
+            # consumes raw big-endian words, so the generic unpack->stack->
+            # repack round trip (which dominated the streaming path's
+            # per-frame cost) is skipped entirely
+            F = len(recs)
+            C = recs[0][0].channels
+            Wn = max(r.n_windows for r, _ in recs)
+            words_be = np.zeros((Wn, F * C), np.uint64)
+            st = np.empty((8, F * C), np.int32)
+            for i, (rec, _) in enumerate(recs):
+                cols = slice(i * C, (i + 1) * C)
+                words_be[: rec.n_windows, cols] = rec.slice_words.byteswap()
+                st[0:4, cols] = rec.lms_history.T
+                st[4:8, cols] = rec.lms_weights.T
+            dec = native.decode_chains(words_be, st)
+            pcm = native.interleave_trim(dec, F, C, F * Wn * fmt.QOA_SLICE_LEN)
+            pcm = pcm.reshape(F, Wn * fmt.QOA_SLICE_LEN, C)
+        elif self._backend == "jax":
             from .codec import _next_pow2
             from .ops.decode import decode_batch
 
+            batch = bs.stack_frames([r for r, _ in recs])
             # pad both axes to pow2 buckets: bounded compile count across
             # arbitrary group sizes / frame lengths
             pcm = decode_batch(
@@ -314,18 +359,11 @@ class QoaDecoder:
                 pad_chains_to=max(8, _next_pow2(batch.n_frames * batch.channels)),
                 pad_windows_to=_next_pow2(batch.max_windows),
             )
-        elif self._backend == "native":
-            from . import native
-
-            F, Wn, C = batch.sf.shape
-            words_be, st = bs.batch_chain_arrays(batch)
-            dec = native.decode_chains(words_be, st)
-            pcm = native.interleave_trim(dec, F, C, F * Wn * fmt.QOA_SLICE_LEN)
-            pcm = pcm.reshape(F, Wn * fmt.QOA_SLICE_LEN, C)
         else:
             from .reference import decode_batch_np
 
-            pcm = decode_batch_np(batch)
+            pcm = decode_batch_np(bs.stack_frames([r for r, _ in recs]))
+        items = []
         for i, (rec, yield_header) in enumerate(recs):
             hdr = FrameHeader(
                 rec.channels, rec.sample_rate, rec.samples_per_channel
@@ -336,16 +374,18 @@ class QoaDecoder:
                 rec.samples_per_channel, rec.n_windows * fmt.QOA_SLICE_LEN
             )
             block = pcm[i, :valid].reshape(-1)
-            self._queue.append((hdr, block, yield_header))
+            items.append((hdr, block, yield_header))
+        return items
 
-    def _fill_queue(self) -> None:
-        """Read ahead up to ``readahead`` frames and decode them batched.
+    def _produce(self):
+        """Read up to ``readahead`` frames and decode them batched.
 
         Consecutive frames with equal (channels, rate) share one decode
-        call; a format change (streaming mode) starts a new group.
+        call; a format change (streaming mode) starts a new group.  Pure
+        producer: returns (queue items, deferred error) without touching
+        the consumer-visible queue/error state, so it can run on the
+        prefetch worker while the consumer drains the previous batch.
         """
-        if self._queue or self._dead:
-            return
         while len(self._records) < self._readahead:
             if self._pending_error is not None:
                 break  # a deferred mid-stream error ends record intake
@@ -357,6 +397,7 @@ class QoaDecoder:
             if rec is None:
                 break
             self._records.append((rec, True))
+        items = []
         while self._records:
             group = [self._records.popleft()]
             key = (group[0][0].channels, group[0][0].sample_rate)
@@ -365,7 +406,45 @@ class QoaDecoder:
                 self._records[0][0].sample_rate,
             ) == key:
                 group.append(self._records.popleft())
-            self._decode_records(group)
+            items.extend(self._decode_records(group))
+        err, self._pending_error = self._pending_error, None
+        return items, err
+
+    def _drain_prefetch(self) -> None:
+        """Wait out any in-flight prefetch and discard it (seek/handoff)."""
+        if self._prefetch_future is not None:
+            try:
+                self._prefetch_future.result()
+            except Exception:
+                pass
+            self._prefetch_future = None
+
+    def _fill_queue(self) -> None:
+        if self._queue or self._dead:
+            return
+        if self._prefetch_future is not None:
+            fut, self._prefetch_future = self._prefetch_future, None
+            items, err = fut.result()
+            self.prefetch_hits += 1
+        else:
+            items, err = self._produce()
+        self._queue.extend(items)
+        self._pending_error = err
+        # pipeline the NEXT batch while the consumer drains this one (only
+        # when this batch was full-length — a short batch means EOF/error)
+        if (
+            self._prefetch_enabled
+            and err is None
+            and items
+            and len(items) >= self._readahead
+        ):
+            if self._executor is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._executor = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="qoa-prefetch"
+                )
+            self._prefetch_future = self._executor.submit(self._produce)
 
     # -- iteration ---------------------------------------------------------
 

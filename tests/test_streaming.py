@@ -356,3 +356,55 @@ def test_decode_range_non_default_uniform_frames(frame_len):
         if hi > lo:
             got = out.samples.reshape(-1, channels)
             assert np.array_equal(got, want[lo:hi]), (lo, hi)
+
+
+def test_prefetch_pipeline_bit_exact_and_engaged(fixture_bytes):
+    # the async readahead (host-IO/decode overlap, SURVEY.md §2.2 PP) must
+    # deliver the identical sample stream, and must actually have served
+    # batches decoded ahead of the consumer
+    want = codec.decode_all(fixture_bytes).samples
+    dec = QoaDecoder(fixture_bytes, prefetch=True)
+    assert dec._prefetch_enabled
+    got = dec.decode_pending()
+    assert np.array_equal(got, want)
+    assert dec.prefetch_hits > 0  # 468 frames / 32 per batch >> 1
+
+    # in-memory bytes default to synchronous (no IO latency to hide)
+    dec2 = QoaDecoder(fixture_bytes)
+    assert not dec2._prefetch_enabled
+    assert np.array_equal(dec2.decode_pending(), want)
+    assert dec2.prefetch_hits == 0
+
+    # streaming-mode decoders never prefetch (the growable buffer's cursor
+    # belongs to the feeding thread)
+    assert not QoaDecoder.new_streaming()._prefetch_enabled
+
+
+def test_prefetch_seek_interaction(tmp_path, fixture_bytes):
+    p = tmp_path / "z.qoa"
+    p.write_bytes(fixture_bytes)
+    want = codec.decode_all(fixture_bytes).samples.reshape(-1, 2)
+    dec = QoaDecoder.open(p)
+    assert dec._prefetch_enabled  # file sources pipeline by default
+    # drain a little so a prefetch is in flight, then seek over it
+    first = dec.next_frame()[1]
+    assert np.array_equal(first.reshape(-1, 2), want[:5120])
+    dec.seek_to_frame(100)
+    hdr, block = dec.next_frame()
+    assert np.array_equal(block.reshape(-1, 2), want[100 * 5120 : 101 * 5120])
+    # and a truncated stream still yields the exact item sequence with
+    # prefetch enabled (the deferred error crosses the worker boundary)
+    cut = fixture_bytes[: len(fixture_bytes) // 3 + 13]
+    from qoaudio_tpu.errors import QoaError
+
+    n = 0
+    try:
+        for item in QoaDecoder(cut):
+            if not isinstance(item, FrameHeader):
+                n += 1
+    except QoaError:
+        pass
+    flat = want.reshape(-1)
+    assert np.array_equal(
+        codec.decode_all(fixture_bytes).samples[:n], flat[:n]
+    )
