@@ -223,13 +223,15 @@ def batch_encode(
     return out
 
 
-def batch_decode(streams: Sequence[bytes]) -> List[DecodedQoa]:
+def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
     """Decode many QOA byte streams in ONE batched kernel launch.
 
     Decode has no cross-frame state (every frame header carries its LMS
     seed, reference src/lib.rs:271-281), so the chains of ALL files —
     frames x channels each — concatenate into one chain axis: the Pallas
-    kernel on TPU, the native engine elsewhere.  Falls back to per-file
+    kernel on TPU, the native engine elsewhere; with ``mesh`` the chain
+    axis shards over the devices (shard_map around the Pallas kernel on
+    TPU — no cross-device communication).  Falls back to per-file
     decoding for streams the fast arithmetic parser rejects.
     """
     from .. import native
@@ -251,8 +253,9 @@ def batch_decode(streams: Sequence[bytes]) -> List[DecodedQoa]:
     if on_tpu:
         from ..ops.pallas_decode import LANES, decode_chains_pallas, pick_tile
 
-        subs, wblk = pick_tile(N)
-        tile = subs * LANES
+        n_dev = mesh.size if mesh is not None else 1
+        subs, wblk = pick_tile(-(-N // n_dev))
+        tile = subs * LANES * n_dev
         Np = -(-N // tile) * tile
         Wp = -(-W // wblk) * wblk
         hi = np.zeros((Wp, Np), np.uint32)
@@ -268,9 +271,35 @@ def batch_decode(streams: Sequence[bytes]) -> List[DecodedQoa]:
                 logical & np.uint64(0xFFFFFFFF)
             ).astype(np.uint32)
             state[:, off : off + k] = p.state
-        dec = np.asarray(
-            decode_chains_pallas(state, hi, lo, subs=subs, wblk=wblk)
-        )
+        if mesh is not None:
+            from .mesh import decode_chains_pallas_sharded
+
+            dec = np.asarray(
+                decode_chains_pallas_sharded(mesh, state, hi, lo, subs, wblk)
+            )
+        else:
+            dec = np.asarray(
+                decode_chains_pallas(state, hi, lo, subs=subs, wblk=wblk)
+            )
+    elif mesh is not None:
+        # sharded XLA kernel (CPU/GPU meshes): code planes over chains
+        from .mesh import decode_chains_sharded, round_up
+
+        Np = round_up(N, mesh.size)
+        words_be = np.zeros((W, Np), np.uint64)
+        state = np.zeros((8, Np), np.int32)
+        for p, off in zip(parsed, offs):
+            k = p.n_frames * p.channels
+            words_be[: p.max_windows, off : off + k] = p.words_be
+            state[:, off : off + k] = p.state
+        logical = words_be.view(np.uint64).byteswap()
+        sf = (logical >> np.uint64(60)).astype(np.int32)
+        codes = np.zeros((W, fmt.QOA_SLICE_LEN, Np), np.int32)
+        for k in range(fmt.QOA_SLICE_LEN):
+            codes[:, k] = (
+                (logical >> np.uint64(57 - 3 * k)) & np.uint64(7)
+            ).astype(np.int32)
+        dec = np.asarray(decode_chains_sharded(mesh, state, sf, codes))
     else:
         words_be = np.zeros((W, N), np.uint64)
         state = np.zeros((8, N), np.int32)
@@ -332,7 +361,7 @@ def transcode_corpus(
         with open(p, "rb") as f:
             datas.append(f.read())
     t0 = time.perf_counter()
-    outs = batch_decode(datas)
+    outs = batch_decode(datas, mesh=mesh)
     decoded = [
         CorpusFile(
             path=p,

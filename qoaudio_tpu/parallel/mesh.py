@@ -68,6 +68,34 @@ def decode_chains_sharded(mesh: Mesh, state, sf, codes):
     return decode_chains(state, sf, codes)
 
 
+def decode_chains_pallas_sharded(mesh: Mesh, state, hi, lo, subs, wblk):
+    """Pallas decoder under shard_map: each device decodes its local chain
+    shard (N must be a multiple of subs * 128 * mesh.size).  Like the
+    encoder, the workload needs no cross-device communication."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    import functools
+
+    from ..ops.pallas_decode import decode_chains_pallas
+
+    fn = functools.partial(decode_chains_pallas, subs=subs, wblk=wblk)
+    chain = P(None, DATA_AXIS)
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(chain, chain, chain),
+        out_specs=P(None, None, DATA_AXIS),
+    )
+    try:
+        wrapped = shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells the replication check differently
+        wrapped = shard_map(fn, check_rep=False, **kwargs)
+    state, hi, lo = shard_chain_arrays(mesh, state, hi, lo)
+    return wrapped(state, hi, lo)
+
+
 def encode_frames_pallas_sharded(mesh: Mesh, state, samples, lens):
     """Pallas encoder under shard_map: each device runs the Mosaic kernel
     on its local chain shard (N must be a multiple of 128 * mesh.size).

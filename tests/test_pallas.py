@@ -159,3 +159,22 @@ def test_pallas_wide_block_matches_xla_kernel():
     s3, sn3, hi3, lo3 = encode_frames_pallas(state, x, lens, block_lanes=512)
     assert np.array_equal(np.asarray(hi3), np.asarray(hi2))
     assert np.array_equal(np.asarray(lo3), np.asarray(lo2))
+
+
+def test_batch_decode_sharded_pallas_on_tpu():
+    # corpus decode through shard_map + the Mosaic decode kernel
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.parallel.corpus import batch_decode
+    from qoaudio_tpu.parallel.mesh import make_mesh
+    from qoaudio_tpu.types import QoaDesc
+
+    mesh = make_mesh(n_devices=1)
+    rng = np.random.default_rng(23)
+    files = [(rng.integers(-28000, 28000, 5200 * 2).astype(np.int16),
+              QoaDesc(2, 44100, 5200)),
+             (rng.integers(-28000, 28000, 777).astype(np.int16),
+              QoaDesc(1, 44100, 777))]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    outs = batch_decode(streams, mesh=mesh)
+    for got, s in zip(outs, streams):
+        assert np.array_equal(got.samples, codec.decode_all(s).samples)

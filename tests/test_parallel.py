@@ -196,3 +196,19 @@ def test_batch_encode_subframe_corpus_trims_windows():
     batched = batch_encode(files)
     for (pcm, desc), data in zip(files, batched):
         assert data == codec.encode_all(pcm, desc)
+
+
+def test_batch_decode_sharded_matches_unsharded():
+    mesh = make_mesh()
+    files = [
+        (make_noise(5200, 2, seed=41), QoaDesc(2, 44100, 5200)),
+        (make_noise(2100, 1, seed=42), QoaDesc(1, 22050, 2100)),
+    ]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    from qoaudio_tpu.parallel.corpus import batch_decode
+
+    plain = batch_decode(streams)
+    sharded = batch_decode(streams, mesh=mesh)
+    for a, b, s in zip(plain, sharded, streams):
+        assert np.array_equal(a.samples, b.samples)
+        assert np.array_equal(b.samples, codec.decode_all(s).samples)
