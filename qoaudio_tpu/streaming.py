@@ -196,6 +196,7 @@ class QoaDecoder:
     def into_inner(self):
         """Return the underlying reader; the decoder must not be used after."""
         self._drain_prefetch()
+        self._shutdown_executor()
         self._dead = True
         return self._reader
 
@@ -472,12 +473,25 @@ class QoaDecoder:
             if yield_header:
                 return hdr
 
+    def _shutdown_executor(self) -> None:
+        if self._executor is not None:
+            self._executor.shutdown(wait=False)
+            self._executor = None
+
     def _raise_or_stop(self):
         self._dead = True
+        self._shutdown_executor()  # stream ended: release the worker thread
         if self._pending_error is not None:
             err, self._pending_error = self._pending_error, None
             raise err
         raise StopIteration
+
+    def __del__(self):
+        try:
+            self._drain_prefetch()
+            self._shutdown_executor()
+        except Exception:
+            pass
 
     # -- bulk access -------------------------------------------------------
 
