@@ -380,6 +380,56 @@ def build_frame_bytes(
     return b"".join(parts)
 
 
+def assemble_stream_bytes(
+    channels: int,
+    sample_rate: int,
+    samples: int,
+    snaps: np.ndarray,
+    words: np.ndarray,
+) -> bytes:
+    """Vectorized whole-stream byte assembly from encoder kernel outputs.
+
+    For standard framing (every frame 5120 samples/channel except possibly
+    the last), all-but-last frames are byte-identical in geometry, so the
+    whole stream assembles as ONE dense uint64 blob dumped big-endian —
+    no per-frame Python loop (which dominates batched transcode epilogues).
+
+    snaps: (>=F, 8, C) int32 — frame-start LMS (history rows 0-3, weights
+    rows 4-7); words: (>=F, >=nw, C) uint64 logical slice words.
+    """
+    C = channels
+    T = samples
+    F = -(-T // fmt.QOA_FRAME_LEN)
+    spf = np.full(F, fmt.QOA_FRAME_LEN, np.int64)
+    spf[-1] = T - (F - 1) * fmt.QOA_FRAME_LEN
+    nw = -(-spf // fmt.QOA_SLICE_LEN)
+    Wf = int(nw.max()) if F else 0
+    fsize = fmt.QOA_HEADER_SIZE + 4 * fmt.QOA_LMS_LEN * C + 8 * nw * C
+    headers = (
+        (np.uint64(C) << np.uint64(56))
+        | (np.uint64(sample_rate) << np.uint64(32))
+        | (spf.astype(np.uint64) << np.uint64(16))
+        | fsize.astype(np.uint64)
+    )
+    hist_words = pack_lms(snaps[:F, 0:4].transpose(0, 2, 1))  # (F, C)
+    wt_words = pack_lms(snaps[:F, 4:8].transpose(0, 2, 1))
+    lms_inter = np.empty((F, 2 * C), np.uint64)
+    lms_inter[:, 0::2] = hist_words
+    lms_inter[:, 1::2] = wt_words
+
+    frame_words = 1 + 2 * C + Wf * C
+    blob = np.empty((F, frame_words), np.uint64)
+    blob[:, 0] = headers
+    blob[:, 1 : 1 + 2 * C] = lms_inter
+    blob[:, 1 + 2 * C :] = np.ascontiguousarray(words[:F, :Wf]).reshape(F, Wf * C)
+
+    out = [fmt.pack_file_header(T)]
+    if F > 1:
+        out.append(blob[:-1].astype(">u8").tobytes())
+    out.append(blob[-1, : 1 + 2 * C + int(nw[-1]) * C].astype(">u8").tobytes())
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------------------
 # Dense assembly for batched kernels
 # ---------------------------------------------------------------------------

@@ -288,37 +288,9 @@ def _encode_all_native(sample_data, desc: QoaDesc) -> bytes:
 
     state = np.ascontiguousarray(initial_encoder_state(C))
     words, snaps = native.encode_file(pcm, lens, Wtot, WPF, state)
-    words = words.reshape(F, WPF, C)
-
-    # ---- vectorized frame assembly (headers + LMS words + slice words) ----
-    spf = np.full(F, fmt.QOA_FRAME_LEN, np.int64)
-    spf[-1] = T - (F - 1) * fmt.QOA_FRAME_LEN
-    nw = -(-spf // fmt.QOA_SLICE_LEN)  # windows per frame
-    fsize = fmt.QOA_HEADER_SIZE + 4 * fmt.QOA_LMS_LEN * C + 8 * nw * C
-    headers = (
-        (np.uint64(C) << np.uint64(56))
-        | (np.uint64(R) << np.uint64(32))
-        | (spf.astype(np.uint64) << np.uint64(16))
-        | fsize.astype(np.uint64)
-    )
-    hist_words = bs.pack_lms(snaps[:, 0:4].transpose(0, 2, 1))  # (F, C)
-    wt_words = bs.pack_lms(snaps[:, 4:8].transpose(0, 2, 1))
-    lms_inter = np.empty((F, 2 * C), np.uint64)
-    lms_inter[:, 0::2] = hist_words
-    lms_inter[:, 1::2] = wt_words
-
-    frame_words = 1 + 2 * C + WPF * C
-    blob = np.empty((F, frame_words), np.uint64)
-    blob[:, 0] = headers
-    blob[:, 1 : 1 + 2 * C] = lms_inter
-    blob[:, 1 + 2 * C :] = words.reshape(F, WPF * C)
-
-    out = [fmt.pack_file_header(T)]
-    if F > 1:
-        # all-but-last frames are full: one contiguous big-endian dump
-        out.append(blob[:-1].astype(">u8").tobytes())
-    out.append(blob[-1, : 1 + 2 * C + int(nw[-1]) * C].astype(">u8").tobytes())
-    return b"".join(out)
+    # vectorized whole-stream assembly (headers + LMS + slice words as one
+    # big-endian blob dump — see bitstream.assemble_stream_bytes)
+    return bs.assemble_stream_bytes(C, R, T, snaps, words.reshape(F, WPF, C))
 
 def _validate_desc(desc: QoaDesc) -> None:
     if desc.channels == 0 or desc.channels > fmt.QOA_MAX_CHANNELS:

@@ -33,12 +33,14 @@ _U32 = jnp.uint32
 
 _SF_TAB = [int(v) for v in fmt.QOA_SCALEFACTOR_TAB]
 
-# (sublanes per tile, windows per VMEM block).  The window walk is
-# LATENCY-bound — ~35 ms for 256 windows regardless of tile width — so
-# throughput scales linearly with chains per vector op: measured 0.14
-# Gsamples/s at subs=8 up to 4.3 Gsamples/s at subs=256 on one v5e.
-# WBLK shrinks as subs grows to keep the output block inside VMEM.
-_CONFIGS = ((256, 4), (128, 8), (64, 16), (32, 64), (8, 64))
+# (sublanes per tile, windows per VMEM block).  Throughput scales with
+# chains per vector op up to the point where the carried LMS planes spill
+# from registers to VMEM; a fresh sweep on v5e measured subs=32/wblk=32 at
+# 5.83 Gsps vs subs=256/wblk=4 at 5.72 — statistically a tie — and the
+# smaller tile both engages at 4096 chains (vs 32768) and stays well under
+# the 16 MB scoped-VMEM limit that the widest tile overruns on large
+# batches (row counts > 256).
+_CONFIGS = ((32, 32), (16, 32), (8, 64))
 MIN_TILE = 8 * LANES
 
 

@@ -204,22 +204,16 @@ def batch_encode(
 
     out: List[bytes] = []
     for (pcm, d), (xf, lf, F), off in zip(files, layouts, offsets):
-        parts = [fmt.pack_file_header(d.samples)]
         C = d.channels
-        for f in range(F):
-            spc = min(fmt.QOA_FRAME_LEN, d.samples - f * fmt.QOA_FRAME_LEN)
-            n_windows = -(-spc // fmt.QOA_SLICE_LEN)
-            parts.append(
-                bs.build_frame_bytes(
-                    C,
-                    d.sample_rate,
-                    spc,
-                    snaps[f, 0:4, off : off + C].T,
-                    snaps[f, 4:8, off : off + C].T,
-                    words[f, :n_windows, off : off + C],
-                )
+        out.append(
+            bs.assemble_stream_bytes(
+                C,
+                d.sample_rate,
+                d.samples,
+                np.ascontiguousarray(snaps[:, :, off : off + C]),
+                np.ascontiguousarray(words[:, :, off : off + C]),
             )
-        out.append(b"".join(parts))
+        )
     return out
 
 
@@ -347,6 +341,192 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
             )
         )
     return outs
+
+
+def batch_transcode(streams: Sequence[bytes], chunk_frames: int = 64) -> List[bytes]:
+    """Transcode many QOA streams with PCM **HBM-resident end to end**
+    (the BASELINE.json north-star deployment shape): the decode kernel's
+    output re-lays out ON DEVICE into the encoder's frame layout and feeds
+    the encode kernel directly — only the compressed slice words and LMS
+    snapshots ever return to the host.
+
+    The device re-layout is pure indexing: with standard 5120-sample input
+    frames, decoded sample (frame f, window w, offset k) of a file IS
+    encoder sample (f, w, k), so one gather over the chain axis maps
+    decode chains (file x frame x channel) onto encode chains
+    (file x channel) and ``lens`` derives from per-file sample counts with
+    broadcast arithmetic.  Streams with non-standard uniform frame sizes
+    (or that the arithmetic parser rejects) fall back to the host
+    decode -> encode pair, which produces identical bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..bitstream import parse_file_arrays
+
+    parsed = [parse_file_arrays(d) for d in streams]
+    if any(
+        p is None or int(p.samples_per_frame[0]) != fmt.QOA_FRAME_LEN
+        for p in parsed
+    ) or _jax_platform() is None:
+        return [
+            codec.encode_all(
+                (out := codec.decode_all(d)).samples,
+                QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+            )
+            for d in streams
+        ]
+
+    on_tpu = _jax_platform() == "tpu"
+
+    # ---- decode: all files' chains in one launch ----
+    W = max(p.max_windows for p in parsed)
+    doffs = []
+    n = 0
+    for p in parsed:
+        doffs.append(n)
+        n += p.n_frames * p.channels
+    Nd = n
+
+    if on_tpu:
+        from ..ops.pallas_decode import LANES as DL, decode_chains_pallas, pick_tile
+
+        subs, wblk = pick_tile(Nd)
+        tile = subs * DL
+        Ndp = -(-Nd // tile) * tile
+        Wp = -(-W // wblk) * wblk
+        hi = np.zeros((Wp, Ndp), np.uint32)
+        lo = np.zeros((Wp, Ndp), np.uint32)
+        dstate = np.zeros((8, Ndp), np.int32)
+        for p, off in zip(parsed, doffs):
+            logical = p.words_be.copy().view(np.uint64).byteswap()
+            k = p.n_frames * p.channels
+            hi[: p.max_windows, off : off + k] = (logical >> np.uint64(32)).astype(
+                np.uint32
+            )
+            lo[: p.max_windows, off : off + k] = (
+                logical & np.uint64(0xFFFFFFFF)
+            ).astype(np.uint32)
+            dstate[:, off : off + k] = p.state
+        dec = decode_chains_pallas(
+            jax.device_put(dstate), jax.device_put(hi), jax.device_put(lo),
+            subs=subs, wblk=wblk,
+        )  # (Wp, 20, Ndp) int16, stays on device
+    else:
+        from ..ops.decode import decode_chains
+
+        words_be = np.zeros((W, Nd), np.uint64)
+        dstate = np.zeros((8, Nd), np.int32)
+        for p, off in zip(parsed, doffs):
+            k = p.n_frames * p.channels
+            words_be[: p.max_windows, off : off + k] = p.words_be
+            dstate[:, off : off + k] = p.state
+        logical = words_be.view(np.uint64).byteswap()
+        sf = (logical >> np.uint64(60)).astype(np.int32)
+        codes = np.zeros((W, fmt.QOA_SLICE_LEN, Nd), np.int32)
+        for k in range(fmt.QOA_SLICE_LEN):
+            codes[:, k] = ((logical >> np.uint64(57 - 3 * k)) & np.uint64(7)).astype(
+                np.int32
+            )
+        dec = decode_chains(
+            jax.device_put(dstate), jax.device_put(sf), jax.device_put(codes)
+        )  # (W, 20, Nd)
+
+    # ---- on-device re-layout: decode chains -> encoder frame layout ----
+    from ..codec import initial_encoder_state
+
+    eoffs = []
+    n = 0
+    for p in parsed:
+        eoffs.append(n)
+        n += p.channels
+    Ne = n
+    if on_tpu:
+        from ..ops.pallas_encode import LANES as EL, encode_frames_pallas
+
+        e_mult = EL
+        kernel = encode_frames_pallas
+    else:
+        from ..ops.encode import encode_frames
+
+        e_mult = 1
+        kernel = encode_frames
+    Nep = -(-Ne // e_mult) * e_mult
+
+    F_max = max(p.n_frames for p in parsed)
+    chunk = min(chunk_frames, codec._next_pow2(F_max))
+    F_pad = -(-F_max // chunk) * chunk
+    W_enc = max(
+        fmt.QOA_SLICES_PER_FRAME if p.n_frames > 1 else p.max_windows
+        for p in parsed
+    )
+
+    samples = np.zeros(Nep, np.int64)  # samples/channel per enc chain
+    for p, eoff in zip(parsed, eoffs):
+        samples[eoff : eoff + p.channels] = int(p.samples_per_frame.sum())
+
+    # per-file relayout with dense reshape/transpose (XLA copies; a single
+    # 2-D gather over the chain axis compiles to a pathologically slow
+    # scatter on TPU), then ONE concat along the encode-chain axis
+    decT = jnp.transpose(dec[:W_enc], (2, 0, 1))  # (Nd, W_enc, 20)
+    blocks = []
+    for p, doff in zip(parsed, doffs):
+        C = p.channels
+        k = p.n_frames * C
+        blk = decT[doff : doff + k].reshape(p.n_frames, C, W_enc, fmt.QOA_SLICE_LEN)
+        blk = jnp.transpose(blk, (0, 2, 3, 1))  # (F_i, W_enc, 20, C)
+        if p.n_frames < F_pad:
+            blk = jnp.pad(blk, ((0, F_pad - p.n_frames), (0, 0), (0, 0), (0, 0)))
+        blocks.append(blk)
+    if Nep > Ne:
+        blocks.append(
+            jnp.zeros((F_pad, W_enc, fmt.QOA_SLICE_LEN, Nep - Ne), jnp.int16)
+        )
+    x_enc = jnp.concatenate(blocks, axis=3)
+    # lens[f, w, j] = clip(min(samples_j - f*5120, 5120) - w*20, 0, 20)
+    f_i = jnp.arange(F_pad, dtype=jnp.int32)[:, None, None]
+    w_i = jnp.arange(W_enc, dtype=jnp.int32)[None, :, None]
+    spc = jnp.clip(
+        jnp.asarray(samples, jnp.int32)[None, None, :] - f_i * fmt.QOA_FRAME_LEN,
+        0,
+        fmt.QOA_FRAME_LEN,
+    )
+    lens = jnp.clip(spc - w_i * fmt.QOA_SLICE_LEN, 0, fmt.QOA_SLICE_LEN)
+
+    # ---- encode: chunked scan, PCM never leaves the device ----
+    state = jax.device_put(initial_encoder_state(0, Nep))
+    words_parts, snaps_parts = [], []
+    for f0 in range(0, F_pad, chunk):
+        state, snaps, whi, wlo = kernel(
+            state, x_enc[f0 : f0 + chunk], lens[f0 : f0 + chunk]
+        )
+        # slice padding chains off ON DEVICE: only real compressed words
+        # and snapshots cross the wire
+        words_parts.append((whi[:, :, :Ne], wlo[:, :, :Ne]))
+        snaps_parts.append(snaps[:, :, :Ne])
+    words = np.concatenate(
+        [
+            (np.asarray(h).astype(np.uint64) << np.uint64(32))
+            | np.asarray(l).astype(np.uint64)
+            for h, l in words_parts
+        ]
+    )  # (F_pad, W_enc, Ne)
+    snaps = np.concatenate([np.asarray(s) for s in snaps_parts])  # (F_pad, 8, Ne)
+
+    # ---- host byte assembly (compressed-domain only, vectorized) ----
+    out: List[bytes] = []
+    for p, eoff in zip(parsed, eoffs):
+        C = p.channels
+        out.append(
+            bs.assemble_stream_bytes(
+                C,
+                p.sample_rate,
+                int(p.samples_per_frame.sum()),
+                np.ascontiguousarray(snaps[:, :, eoff : eoff + C]),
+                np.ascontiguousarray(words[:, :, eoff : eoff + C]),
+            )
+        )
+    return out
 
 
 def transcode_corpus(

@@ -178,3 +178,26 @@ def test_batch_decode_sharded_pallas_on_tpu():
     outs = batch_decode(streams, mesh=mesh)
     for got, s in zip(outs, streams):
         assert np.array_equal(got.samples, codec.decode_all(s).samples)
+
+
+def test_batch_transcode_device_resident_on_tpu():
+    # the full HBM-resident pipeline on the real chip: Mosaic decode ->
+    # on-device relayout -> Mosaic encode; only compressed data crosses
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.parallel.corpus import batch_transcode
+    from qoaudio_tpu.types import QoaDesc
+
+    rng = np.random.default_rng(29)
+    files = [(rng.integers(-28000, 28000, 5120 * 2 * 2).astype(np.int16),
+              QoaDesc(2, 44100, 5120 * 2)),
+             (rng.integers(-28000, 28000, 4000).astype(np.int16),
+              QoaDesc(1, 44100, 4000))]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    got = batch_transcode(streams)
+    for s, g in zip(streams, got):
+        out = codec.decode_all(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want

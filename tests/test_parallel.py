@@ -212,3 +212,48 @@ def test_batch_decode_sharded_matches_unsharded():
     for a, b, s in zip(plain, sharded, streams):
         assert np.array_equal(a.samples, b.samples)
         assert np.array_equal(b.samples, codec.decode_all(s).samples)
+
+
+def test_batch_transcode_device_resident():
+    """decode -> on-device relayout -> encode must be byte-identical to the
+    host decode->encode pair (PCM never reaches the host on this path)."""
+    from qoaudio_tpu.parallel.corpus import batch_transcode
+
+    files = [
+        (make_noise(5120 * 2 + 300, 2, seed=61), QoaDesc(2, 44100, 5120 * 2 + 300)),
+        (make_noise(700, 1, seed=62), QoaDesc(1, 22050, 700)),
+        (make_noise(5120, 3, seed=63), QoaDesc(3, 8000, 5120)),
+    ]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    got = batch_transcode(streams)
+    for s, g in zip(streams, got):
+        out = codec.decode_all(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want
+
+
+def test_batch_transcode_nonstandard_framing_falls_back():
+    # a uniform 2560-sample-frame stream is valid QOA but not the standard
+    # framing the device relayout assumes; the host fallback must cover it
+    import io
+
+    from qoaudio_tpu.parallel.corpus import batch_transcode
+    from qoaudio_tpu.streaming import QoaEncoder
+
+    pcm = make_noise(2560 * 3, 2, seed=64)
+    enc = QoaEncoder(QoaDesc(2, 44100, 2560 * 3))
+    buf = io.BytesIO()
+    enc.write_header(buf)
+    for off in range(0, 2560 * 3, 2560):
+        enc.encode_frame(pcm[off * 2 : (off + 2560) * 2], buf)
+    stream = buf.getvalue()
+
+    (got,) = batch_transcode([stream])
+    out = codec.decode_all(stream)
+    want = codec.encode_all(
+        out.samples, QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel)
+    )
+    assert got == want
