@@ -50,7 +50,14 @@ def _build(force: bool = False) -> Optional[str]:
         return _LIB_PATH
     tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
-        for flags in (["-O3", "-march=native"], ["-O2"]):
+        # -mprefer-vector-width=512: GCC otherwise splits the 512-bit
+        # vector-extension ops into ymm pairs on AVX-512 targets (measured
+        # ~5-12% slower encode); harmless where unsupported (second try)
+        for flags in (
+            ["-O3", "-march=native", "-mprefer-vector-width=512"],
+            ["-O3", "-march=native"],
+            ["-O2"],
+        ):
             cmd = [
                 "g++", *flags, "-fno-strict-aliasing", "-shared", "-fPIC",
                 "-o", tmp, _SRC,
