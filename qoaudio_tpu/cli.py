@@ -173,6 +173,34 @@ def _cmd_info(args) -> int:
 
 
 def _cmd_transcode(args) -> int:
+    if args.hbm:
+        # HBM-resident pipeline: decode -> on-device relayout -> encode;
+        # PCM never reaches the host, so there is nothing to verify against
+        # without a separate decode — report sizes and timing only
+        from .parallel.corpus import batch_transcode
+
+        datas = []
+        for p in args.inputs:
+            with open(p, "rb") as f:
+                datas.append(f.read())
+        t0 = time.perf_counter()
+        outs = batch_transcode(datas)
+        dt = time.perf_counter() - t0
+        total_in = sum(len(d) for d in datas)
+        total_out = 0
+        for p, data in zip(args.inputs, outs):
+            total_out += len(data)
+            if args.out_dir:
+                os.makedirs(args.out_dir, exist_ok=True)
+                name = os.path.splitext(os.path.basename(p))[0] + ".qoa"
+                with open(os.path.join(args.out_dir, name), "wb") as f:
+                    f.write(data)
+        print(
+            f"device transcode: {len(outs)} files, {total_in} -> {total_out} "
+            f"bytes in {dt*1e3:.0f} ms (PCM stayed device-resident)"
+        )
+        return 0
+
     from .parallel.corpus import transcode_corpus
 
     report = transcode_corpus(
@@ -226,6 +254,12 @@ def main(argv=None) -> int:
     pt.add_argument("inputs", nargs="+")
     pt.add_argument("--out-dir", default=None)
     pt.add_argument("--no-verify", action="store_true")
+    pt.add_argument(
+        "--hbm",
+        action="store_true",
+        help="HBM-resident pipeline: PCM never leaves the device; only "
+        "compressed data crosses the host<->device link",
+    )
     pt.set_defaults(fn=_cmd_transcode)
 
     args = p.parse_args(argv)

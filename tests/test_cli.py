@@ -83,3 +83,28 @@ def test_cli_info(tmp_path, capsys):
     assert "fixed mode, 2 frames" in out
     assert "channels 2" in out
     assert "6000 samples/ch" in out
+
+
+def test_cli_transcode_hbm(tmp_path, fixture_bytes):
+    from qoaudio_tpu import cli, codec
+    from qoaudio_tpu.types import QoaDesc
+
+    src = tmp_path / "in.qoa"
+    src.write_bytes(fixture_bytes[: 8 + 3 * 4136])  # header + 3 frames
+    # pad to a valid 3-frame stream: rewrite the declared total
+    import numpy as np
+
+    out = codec.decode_all(bytes(fixture_bytes))
+    three = codec.encode_all(
+        out.samples[: 3 * 5120 * 2], QoaDesc(2, 44100, 3 * 5120)
+    )
+    src.write_bytes(three)
+    outdir = tmp_path / "out"
+    rc = cli.main(["transcode", str(src), "--out-dir", str(outdir), "--hbm"])
+    assert rc == 0
+    got = (outdir / "in.qoa").read_bytes()
+    dec = codec.decode_all(three)
+    want = codec.encode_all(
+        dec.samples, QoaDesc(dec.num_channels, dec.sample_rate, dec.samples_per_channel)
+    )
+    assert got == want
