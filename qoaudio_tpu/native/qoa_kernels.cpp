@@ -24,6 +24,8 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC (see native/__init__.py).
 
+#include <immintrin.h>
+
 #include <cstdint>
 #include <cstring>
 
@@ -411,8 +413,18 @@ __attribute__((always_inline)) inline void step16(Full16& S, int32_t sample_s, i
 // multiply does not wrap (|residual| <= kWrapLim[sf]).  Wrap-risk lanes
 // (~0.6% of windows on real music) set a flag and the whole window
 // re-evaluates on the exact full-16 path.
+// History/weights live PACKED as 16-bit pairs per 32-bit lane —
+// HA = (H0, H1), HB = (H2, H3), likewise WA/WB — so the prediction dot and
+// the weight-penalty sum are two vpmaddwd each (latency 5) instead of four
+// 10-cycle vpmulld on the step's critical path.  History is always i16
+// (reconstructions are clamped); weights are i16 on all real audio
+// (measured: zero overflows across the fixture) and a saturating-add
+// comparison flags any lane whose weight leaves i16 for the exact
+// full-16 fallback (adversarial wrap regimes).
+typedef int16_t v32s __attribute__((vector_size(64)));
+
 struct Cont16 {
-  v16i H0, H1, H2, H3, W0, W1, W2, W3;
+  v16i HA, HB, WA, WB;          // packed (H0,H1) (H2,H3) (W0,W1) (W2,W3)
   v16i M0, D1, D2, D3;          // mag0 and successive mag deltas
   v16i T2P, T4P, T6P;           // residual >= Tk  => scaled >= k  (r > 0)
   v16i T2N, T4N, T6N;           // residual <= Tk  => scaled <= -k (r < 0)
@@ -420,13 +432,17 @@ struct Cont16 {
   v16u rank_lo, rank_hi, word_hi, word_lo;
 };
 
+inline v16i maddw(v16i a, v16i b) {
+  return (v16i)_mm512_madd_epi16((__m512i)a, (__m512i)b);
+}
+
 __attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
                                                    int k, v16i& wrapflag) {
   const v16i kZero = vbroadcast(0);
-  v16i p = (v16i)((v16u)S.W0 * (v16u)S.H0 + (v16u)S.W1 * (v16u)S.H1 +
-                  (v16u)S.W2 * (v16u)S.H2 + (v16u)S.W3 * (v16u)S.H3) >> 13;
-  v16i ssum = (v16i)((v16u)S.W0 * (v16u)S.W0 + (v16u)S.W1 * (v16u)S.W1 +
-                     (v16u)S.W2 * (v16u)S.W2 + (v16u)S.W3 * (v16u)S.W3);
+  // exact while |W|, |H| < 2^15 (guarded): i16 products are exact in i32
+  // and the pair sums wrap like the reference's i32 arithmetic
+  v16i p = (v16i)((v16u)maddw(S.WA, S.HA) + (v16u)maddw(S.WB, S.HB)) >> 13;
+  v16i ssum = (v16i)((v16u)maddw(S.WA, S.WA) + (v16u)maddw(S.WB, S.WB));
   v16i pen = (ssum >> 18) - 0x8FF;
   pen = pen < kZero ? kZero : pen;
   v16i residual = (v16i)((v16u)sample - (v16u)p);
@@ -464,16 +480,25 @@ __attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
   } else {
     S.word_lo |= qa << (57 - 3 * k);
   }
+  // sign-sign update in the packed domain: per-16-bit signs of H select
+  // +/-d; a saturating-add comparison catches any weight leaving i16
   v16i d = dq >> 4;
-  v16i nd = kZero - d;
-  S.W0 = (v16i)((v16u)S.W0 + (v16u)(S.H0 < kZero ? nd : d));
-  S.W1 = (v16i)((v16u)S.W1 + (v16u)(S.H1 < kZero ? nd : d));
-  S.W2 = (v16i)((v16u)S.W2 + (v16u)(S.H2 < kZero ? nd : d));
-  S.W3 = (v16i)((v16u)S.W3 + (v16u)(S.H3 < kZero ? nd : d));
-  S.H0 = S.H1;
-  S.H1 = S.H2;
-  S.H2 = S.H3;
-  S.H3 = r;
+  v16i d16 = (d << 16) | (d & vbroadcast(0xFFFF));
+  const v32s z32 = v32s{};
+  v32s mA = (v32s)S.HA < z32;
+  v32s mB = (v32s)S.HB < z32;
+  v32s sdA = ((v32s)d16 ^ mA) - mA;
+  v32s sdB = ((v32s)d16 ^ mB) - mB;
+  v32s wa2 = (v32s)S.WA + sdA;
+  v32s wb2 = (v32s)S.WB + sdB;
+  wrapflag |= (v16i)(wa2 != (v32s)_mm512_adds_epi16((__m512i)S.WA, (__m512i)sdA));
+  wrapflag |= (v16i)(wb2 != (v32s)_mm512_adds_epi16((__m512i)S.WB, (__m512i)sdB));
+  S.WA = (v16i)wa2;
+  S.WB = (v16i)wb2;
+  // history shift register in packed form: (H0,H1) <- (H1,H2), (H2,H3) <- (H3,r)
+  v16u hbu = (v16u)S.HB;
+  S.HA = (v16i)(((v16u)S.HA >> 16) | ((v16u)S.HB << 16));
+  S.HB = (v16i)((hbu >> 16) | ((v16u)r << 16));
 }
 
 // Exact threshold tables (host-derived integer boundaries of the
@@ -709,14 +734,27 @@ void encode_windows_c(const int16_t* __restrict__ x,
       auto pick = [&](v16i av, v16i bv) {
         return combine_lo(la ? swap8(av) : av, lb ? swap8(bv) : bv);
       };
-      S.H0 = pick(A.H0, B.H0);
-      S.H1 = pick(A.H1, B.H1);
-      S.H2 = pick(A.H2, B.H2);
-      S.H3 = pick(A.H3, B.H3);
-      S.W0 = pick(A.W0, B.W0);
-      S.W1 = pick(A.W1, B.W1);
-      S.W2 = pick(A.W2, B.W2);
-      S.W3 = pick(A.W3, B.W3);
+      const v16i h0 = pick(A.H0, B.H0);
+      const v16i h1 = pick(A.H1, B.H1);
+      const v16i h2 = pick(A.H2, B.H2);
+      const v16i h3 = pick(A.H3, B.H3);
+      const v16i w0 = pick(A.W0, B.W0);
+      const v16i w1 = pick(A.W1, B.W1);
+      const v16i w2 = pick(A.W2, B.W2);
+      const v16i w3 = pick(A.W3, B.W3);
+      // pack as 16-bit pairs for the vpmaddwd continuation; weights beyond
+      // i16 cannot pack — flag those lanes for the exact fallback (only
+      // adversarial wrap regimes reach them; zero on real audio)
+      const v16i kLo16 = vbroadcast(0xFFFF);
+      S.HA = (h0 & kLo16) | (h1 << 16);
+      S.HB = (h2 & kLo16) | (h3 << 16);
+      S.WA = (w0 & kLo16) | (w1 << 16);
+      S.WB = (w2 & kLo16) | (w3 << 16);
+      const v16i kPMax = vbroadcast(32767);
+      const v16i kPMin = vbroadcast(-32768);
+      wrapflag[v] |= (v16i)((w0 > kPMax) | (w0 < kPMin) | (w1 > kPMax) |
+                            (w1 < kPMin) | (w2 > kPMax) | (w2 < kPMin) |
+                            (w3 > kPMax) | (w3 < kPMin));
       S.rank_lo = (v16u)pick((v16i)A.rank_lo, (v16i)B.rank_lo);
       S.rank_hi = (v16u)pick((v16i)A.rank_hi, (v16i)B.rank_hi);
       S.word_hi = (v16u)pick((v16i)A.word_hi, (v16i)B.word_hi);
@@ -793,14 +831,16 @@ void encode_windows_c(const int16_t* __restrict__ x,
       ScalarLane B;
       {
         const int l = base + bj;
-        B.h0 = S.H0[l];
-        B.h1 = S.H1[l];
-        B.h2 = S.H2[l];
-        B.h3 = S.H3[l];
-        B.w0 = S.W0[l];
-        B.w1 = S.W1[l];
-        B.w2 = S.W2[l];
-        B.w3 = S.W3[l];
+        // unpack the 16-bit pairs (sign-extending; values are i16 by the
+        // gather-time guard)
+        B.h0 = (int16_t)(S.HA[l] & 0xFFFF);
+        B.h1 = S.HA[l] >> 16;
+        B.h2 = (int16_t)(S.HB[l] & 0xFFFF);
+        B.h3 = S.HB[l] >> 16;
+        B.w0 = (int16_t)(S.WA[l] & 0xFFFF);
+        B.w1 = S.WA[l] >> 16;
+        B.w2 = (int16_t)(S.WB[l] & 0xFFFF);
+        B.w3 = S.WB[l] >> 16;
         B.rank = b_total;
         B.word =
             (uint64_t((uint32_t)S.word_hi[l]) << 32) | (uint32_t)S.word_lo[l];
