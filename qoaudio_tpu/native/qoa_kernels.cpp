@@ -550,6 +550,78 @@ inline v16i combine_lo(v16i a, v16i b) {  // lanes 0-7 of a ++ lanes 0-7 of b
   return __builtin_shuffle(a, b, kComb);
 }
 
+// min-reduce WITHIN each 256-bit half: every lane of a half ends up holding
+// that half's minimum (log2(8) rotate+min rounds)
+inline v16i halfmin(v16i v) {
+  const v16i r4 = {4, 5, 6, 7, 0, 1, 2, 3, 12, 13, 14, 15, 8, 9, 10, 11};
+  const v16i r2 = {2, 3, 0, 1, 6, 7, 4, 5, 10, 11, 8, 9, 14, 15, 12, 13};
+  const v16i r1 = {1, 0, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 15, 14};
+  v16i t = __builtin_shuffle(v, r4);
+  v = v < t ? v : t;
+  t = __builtin_shuffle(v, r2);
+  v = v < t ? v : t;
+  t = __builtin_shuffle(v, r1);
+  v = v < t ? v : t;
+  return v;
+}
+
+// Winner per 256-bit half by the lexicographic key
+// (rank_hi, rank_lo, first_hi, first_lo, sf) with unsigned lo limbs —
+// staged masked min-reductions (the same shape as the TPU kernel's argmin),
+// both channels of a pair vector at once.  Writes the winning lane index
+// (0-15) and key scalars per half.
+struct HalfWin {
+  int lane[2];
+  uint64_t total[2], first[2];
+  int sf[2];
+};
+
+inline HalfWin argmin_halves(v16u rank_hi, v16u rank_lo, v16u first_hi,
+                             v16u first_lo, v16i sf) {
+  const v16i kBias = vbroadcast((int32_t)0x80000000);
+  const v16i kMax = vbroadcast(0x7FFFFFFF);
+  v16i rh = (v16i)rank_hi;  // small counts: signed order == unsigned
+  v16i rlb = (v16i)rank_lo ^ kBias;
+  v16i fh = (v16i)first_hi;
+  v16i flb = (v16i)first_lo ^ kBias;
+
+  v16i m = halfmin(rh);
+  v16i ok = rh == m;
+  v16i mh_r = m;
+  m = halfmin(ok ? rlb : kMax);
+  ok &= rlb == m;
+  v16i ml_r = m;
+  m = halfmin(ok ? fh : kMax);
+  ok &= fh == m;
+  v16i mh_f = m;
+  m = halfmin(ok ? flb : kMax);
+  ok &= flb == m;
+  v16i ml_f = m;
+  v16i msf = halfmin(ok ? sf : vbroadcast(16));
+  ok &= sf == msf;
+  const v16i kIota = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+  v16i mlane = halfmin(ok ? kIota : vbroadcast(16));
+
+  int32_t d[16 * 6];
+  std::memcpy(d + 0, &mlane, 64);
+  std::memcpy(d + 16, &mh_r, 64);
+  std::memcpy(d + 32, &ml_r, 64);
+  std::memcpy(d + 48, &mh_f, 64);
+  std::memcpy(d + 64, &ml_f, 64);
+  std::memcpy(d + 80, &msf, 64);
+  HalfWin out;
+  for (int h = 0; h < 2; ++h) {
+    const int b = h * 8;
+    out.lane[h] = d[b];
+    out.total[h] = (uint64_t(uint32_t(d[16 + b])) << 32) |
+                   uint32_t(d[32 + b] ^ (int32_t)0x80000000);
+    out.first[h] = (uint64_t(uint32_t(d[48 + b])) << 32) |
+                   uint32_t(d[64 + b] ^ (int32_t)0x80000000);
+    out.sf[h] = d[80 + b];
+  }
+  return out;
+}
+
 // one straggler scalefactor lane, scalar, with early abandon vs the bound
 struct ScalarLane {
   int32_t h0, h1, h2, h3, w0, w1, w2, w3;
@@ -788,7 +860,12 @@ void encode_windows_c(const int16_t* __restrict__ x,
       }
     }
 
-    // ---- per channel: pick winner among survivors, then stragglers ----
+    // ---- winners: one vectorized lexicographic argmin per pair vector
+    //      (both channels at once), then per-channel stragglers ----
+    HalfWin hws[NV];
+    for (int v = 0; v < NV; ++v)
+      hws[v] = argmin_halves(K[v].rank_hi, K[v].rank_lo, kfirst_hi[v],
+                             kfirst_lo[v], sfpair[v]);
     for (int c = 0; c < C; ++c) {
       const Cont16& S = K[c / 2];
       const int base = (c & 1) ? 8 : 0;
@@ -807,30 +884,15 @@ void encode_windows_c(const int16_t* __restrict__ x,
         }
       }
 
-      // branchless winner scan: the comparisons are data-random, so
-      // conditional moves beat ~50%-mispredicting branches
-      int bj = 0;
-      uint64_t b_total = ~0ull, b_first = ~0ull;
-      int b_sf = 16;
-      for (int j = 0; j < 8; ++j) {
-        const int l = base + j;
-        const uint64_t total = (uint64_t(S.rank_hi[l]) << 32) | S.rank_lo[l];
-        const int sf = sfpair[c / 2][l];
-        const uint64_t first =
-            (uint64_t(kfirst_hi[c / 2][l]) << 32) | kfirst_lo[c / 2][l];
-        const bool better =
-            (total < b_total) |
-            ((total == b_total) &
-             ((first < b_first) | ((first == b_first) & (sf < b_sf))));
-        bj = better ? j : bj;
-        b_total = better ? total : b_total;
-        b_first = better ? first : b_first;
-        b_sf = better ? sf : b_sf;
-      }
+      const HalfWin& hw = hws[c / 2];
+      const int half = c & 1;
+      uint64_t b_total = hw.total[half];
+      uint64_t b_first = hw.first[half];
+      int b_sf = hw.sf[half];
       // materialize the survivors' best as the running winner
       ScalarLane B;
       {
-        const int l = base + bj;
+        const int l = hw.lane[half];
         // unpack the 16-bit pairs (sign-extending; values are i16 by the
         // gather-time guard)
         B.h0 = (int16_t)(S.HA[l] & 0xFFFF);
