@@ -90,10 +90,6 @@ def test_cli_transcode_hbm(tmp_path, fixture_bytes):
     from qoaudio_tpu.types import QoaDesc
 
     src = tmp_path / "in.qoa"
-    src.write_bytes(fixture_bytes[: 8 + 3 * 4136])  # header + 3 frames
-    # pad to a valid 3-frame stream: rewrite the declared total
-    import numpy as np
-
     out = codec.decode_all(bytes(fixture_bytes))
     three = codec.encode_all(
         out.samples[: 3 * 5120 * 2], QoaDesc(2, 44100, 3 * 5120)
