@@ -144,6 +144,7 @@ class QoaDecoder:
         self._prefetch_future = None
         self._executor = None
         self.prefetch_hits = 0  # batches served that were decoded ahead
+        self._tail = b""  # bytes bulk-read past the last parsed frame
 
         if total_samples == 0:
             self._mode = Streaming()
@@ -225,11 +226,25 @@ class QoaDecoder:
         self._pending_idx = 0
         self._queue.clear()
         self._records.clear()
+        self._tail = b""
         self._pending_error = None
         self._dead = False
         self._returned_first_header = True
 
     # -- frame loading -----------------------------------------------------
+
+    def _read_raw(self, n: int) -> bytes:
+        """Read n bytes, draining the slab leftover buffer first.
+
+        ``_tail`` is only ever non-empty for non-growable fixed-mode
+        sources (the slab fast path), so the growable rewind logic in
+        ``_read_frame_record`` never interacts with it."""
+        if self._tail:
+            take, self._tail = self._tail[:n], self._tail[n:]
+            if len(take) == n:
+                return take
+            return take + self._reader.read(n - len(take))
+        return self._reader.read(n)
 
     def _read_frame_record(self) -> Optional[bs.FrameRecord]:
         """Read one whole frame; None on clean EOF (or incomplete buffer).
@@ -238,7 +253,7 @@ class QoaDecoder:
         end: the reference maps UnexpectedEof on the header read to
         Ok(false) (src/lib.rs:205-215)."""
         start_is_growable = isinstance(self._reader, _GrowableBuffer)
-        hdr = self._reader.read(8)
+        hdr = self._read_raw(8)
         if len(hdr) < 8:
             if start_is_growable and hdr:
                 self._reader.rewind(len(hdr))
@@ -259,7 +274,7 @@ class QoaDecoder:
         n_windows = -(-spc // fmt.QOA_SLICE_LEN)
         lms_len = fmt.QOA_LMS_STATE_BYTES * channels
         body_len = lms_len + 8 * n_windows * channels
-        body = self._reader.read(body_len)
+        body = self._read_raw(body_len)
         if len(body) < body_len:
             if start_is_growable:
                 # streaming buffer: not enough data yet; un-consume all of it
@@ -386,7 +401,24 @@ class QoaDecoder:
         producer: returns (queue items, deferred error) without touching
         the consumer-visible queue/error state, so it can run on the
         prefetch worker while the consumer drains the previous batch.
+
+        Fast path: a uniform fixed-mode stream's frames are byte-identical
+        in geometry, so the whole batch bulk-reads in ONE ``read`` and
+        parses as a dense numpy slab — no per-frame Python.  Any
+        non-uniform byte run (the short final frame, corruption, EOF)
+        falls back to the frame-by-frame reader via the ``_tail`` buffer,
+        preserving the reference's truncation semantics exactly.
         """
+        if (
+            self._backend == "native"
+            and not self._records
+            and self._pending_error is None
+            and isinstance(self._mode, FixedSamples)
+            and not isinstance(self._reader, _GrowableBuffer)
+        ):
+            out = self._produce_slab()
+            if out is not None:
+                return out
         while len(self._records) < self._readahead:
             if self._pending_error is not None:
                 break  # a deferred mid-stream error ends record intake
@@ -410,6 +442,59 @@ class QoaDecoder:
             items.extend(self._decode_records(group))
         err, self._pending_error = self._pending_error, None
         return items, err
+
+    def _produce_slab(self):
+        """Bulk path of :meth:`_produce`; None = use the slow path."""
+        from . import native
+
+        if not native.available():
+            return None
+        fs = self._first_frame_size
+        spc = self._first_frame_samples
+        C = self._mode.channels
+        exp = fmt.pack_frame_header(C, self._mode.sample_rate, spc, fs)
+        want = self._readahead * fs
+        data = self._tail
+        self._tail = b""
+        if len(data) < want:
+            data += self._reader.read(want - len(data))
+        k = len(data) // fs
+        m = 0
+        if k:
+            hdrs = np.frombuffer(data, dtype=">u8", count=k * (fs // 8)).reshape(
+                k, fs // 8
+            )[:, 0]
+            eq = hdrs == np.uint64(exp)
+            m = k if bool(eq.all()) else int(np.argmin(eq))
+        if m == 0:
+            self._tail = data
+            return None
+        self._tail = data[m * fs :]
+
+        # dense parse of m identical-geometry frames (cf. parse_file_arrays)
+        nw = (fs // 8 - 1 - 2 * C) // C  # slice windows per frame
+        i2 = np.frombuffer(data, dtype=">i2", count=m * (fs // 2)).reshape(
+            m, fs // 2
+        )
+        lms = i2[:, 4 : 4 + 8 * C].astype(np.int32).reshape(m, C, 2, 4)
+        state = np.empty((8, m * C), np.int32)
+        state[0:4] = lms[:, :, 0].reshape(m * C, 4).T
+        state[4:8] = lms[:, :, 1].reshape(m * C, 4).T
+        raw = np.frombuffer(data, dtype=np.uint64, count=m * (fs // 8)).reshape(
+            m, fs // 8
+        )  # native view of big-endian bytes == the raw words the engine eats
+        words_be = np.ascontiguousarray(
+            raw[:, 1 + 2 * C :].reshape(m, nw, C).transpose(1, 0, 2)
+        ).reshape(nw, m * C)
+
+        dec = native.decode_chains(words_be, state)
+        pcm = native.interleave_trim(dec, m, C, m * spc)
+        hdr = FrameHeader(C, self._mode.sample_rate, spc)
+        items = [
+            (hdr, pcm[i * spc : (i + 1) * spc].reshape(-1), True)
+            for i in range(m)
+        ]
+        return items, None
 
     def _drain_prefetch(self) -> None:
         """Wait out any in-flight prefetch and discard it (seek/handoff)."""
