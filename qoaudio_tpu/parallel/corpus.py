@@ -106,6 +106,8 @@ def batch_encode(
     """
     from ..codec import initial_encoder_state
 
+    if not files:
+        return []
     for pcm, desc in files:
         codec._validate_desc(desc)
         if np.asarray(pcm).size != desc.samples * desc.channels:
@@ -231,6 +233,8 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
     from .. import native
     from ..bitstream import parse_file_arrays
 
+    if not streams:
+        return []
     parsed = [parse_file_arrays(d) for d in streams]
     if any(p is None for p in parsed):
         return [codec.decode_all(d) for d in streams]
@@ -364,6 +368,8 @@ def batch_transcode(streams: Sequence[bytes], chunk_frames: int = 64) -> List[by
 
     from ..bitstream import parse_file_arrays
 
+    if not streams:
+        return []
     parsed = [parse_file_arrays(d) for d in streams]
     if any(
         p is None or int(p.samples_per_frame[0]) != fmt.QOA_FRAME_LEN

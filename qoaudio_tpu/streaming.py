@@ -195,7 +195,11 @@ class QoaDecoder:
         return None
 
     def into_inner(self):
-        """Return the underlying reader; the decoder must not be used after."""
+        """Return the underlying reader; the decoder must not be used after.
+
+        Note the readahead design means the reader's position is generally
+        AHEAD of the last consumed sample (batches and the slab buffer may
+        have read past it) — same caveat as any buffered reader."""
         self._drain_prefetch()
         self._shutdown_executor()
         self._dead = True
