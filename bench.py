@@ -93,23 +93,22 @@ def bench_host_paths(data, pcm, channels, spc):
     log(f"host decode end-to-end: {best*1e3:.1f} ms = {out['decode_e2e_msps']} Msps"
         f" (Rust {RUST_DECODE_MSPS})")
 
-    # streaming-iterator path with the async readahead pipeline (the
-    # prefetch worker decodes batch k+1 while the consumer drains batch k)
+    # streaming-iterator path (batched readahead + the slab bulk parse;
+    # file-like sources additionally pipeline the next batch's read+decode
+    # on a prefetch worker)
     from qoaudio_tpu.streaming import QoaDecoder
 
     best = float("inf")
-    hits = 0
     for _ in range(6):
-        dec = QoaDecoder(data, prefetch=True)
+        dec = QoaDecoder(data)
         with Stopwatch() as sw:
             n = len(dec.decode_pending())
         assert n == total
         best = min(best, sw.elapsed)
-        hits = dec.prefetch_hits
     out["decode_stream_msps"] = round(total / best / 1e6, 1)
     log(
-        f"host streaming decode (async readahead): {best*1e3:.1f} ms = "
-        f"{out['decode_stream_msps']} Msps ({hits} prefetched batches)"
+        f"host streaming decode: {best*1e3:.1f} ms = "
+        f"{out['decode_stream_msps']} Msps"
     )
 
     desc = QoaDesc(channels, 44100, spc)
