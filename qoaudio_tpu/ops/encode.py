@@ -29,8 +29,6 @@ All int32 arithmetic wraps exactly like the reference's wrapping ops.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

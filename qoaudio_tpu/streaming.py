@@ -39,7 +39,7 @@ Divergence notes:
 from __future__ import annotations
 
 import io
-from typing import Iterator, Optional, Union
+from typing import Optional
 
 import numpy as np
 
