@@ -275,3 +275,35 @@ def test_hypothesis_truncation_item_fidelity(data):
     assert np.array_equal(
         np.asarray(got, dtype=np.int16), full[:exp_samples]
     )
+
+
+@pytest.mark.parametrize("seed", [3, 17, 101])
+def test_random_word_decode_differential(seed):
+    """Adversarial VALID streams (random slice words + extreme LMS seeds):
+    every decode backend must reproduce the scalar oracle bit-for-bit,
+    including i32-wrapping predictions as weights drift over a full frame
+    (reference decode uses wrapping arithmetic throughout,
+    src/lib.rs:797-828)."""
+    from qoaudio_tpu import bitstream as bs
+    from qoaudio_tpu import reference as ref
+
+    rng = np.random.default_rng(seed)
+    C = int(rng.integers(1, 4))
+    spc = 5120  # full frame: 256 windows of weight drift
+    words = rng.integers(0, 1 << 63, size=(256, C), dtype=np.int64).astype(
+        np.uint64
+    ) | (rng.integers(0, 16, size=(256, C), dtype=np.uint64) << np.uint64(60))
+    hist = rng.integers(-32768, 32768, (C, 4)).astype(np.int32)
+    wts = rng.choice(
+        np.array([-32768, -16384, 16383, 32767], np.int32), size=(C, 4)
+    )
+    frame = bs.build_frame_bytes(C, 44100, spc, hist, wts, words)
+    data = fmt.pack_file_header(spc) + frame
+    _, _, want = ref.decode_all_py(data)
+    want = np.asarray(want, dtype=np.int16)
+    for be in ("native", "jax", "numpy"):
+        try:
+            out = codec.decode_all(data, backend=be)
+        except RuntimeError:
+            continue  # backend unavailable
+        assert np.array_equal(out.samples, want), be
