@@ -170,9 +170,11 @@ class QoaDecoder:
     # -- constructors ------------------------------------------------------
 
     @classmethod
-    def open(cls, path, backend: str = "auto", readahead: int = 32) -> "QoaDecoder":
+    def open(cls, path, backend: str = "auto", readahead: int = 32,
+             prefetch: Optional[bool] = None) -> "QoaDecoder":
         """Open a file path (reference: src/lib.rs:619-625)."""
-        return cls(open(path, "rb"), backend=backend, readahead=readahead)
+        return cls(open(path, "rb"), backend=backend, readahead=readahead,
+                   prefetch=prefetch)
 
     @classmethod
     def new_streaming(cls, backend: str = "auto", readahead: int = 32) -> "QoaDecoder":
