@@ -133,6 +133,12 @@ class QoaDecoder:
         from collections import deque
 
         self._queue = deque()
+        # Producer-side state (_records, _tail, _pending_error) is touched
+        # by __init__, seek_to_frame, and _produce ONLY.  When prefetch is
+        # enabled _produce runs on the worker thread; safety relies on the
+        # invariant that AT MOST ONE _produce is in flight and every other
+        # toucher first drains the future (_drain_prefetch / _fill_queue),
+        # so access is serialized through the future, never concurrent.
         self._records = deque()  # parsed but not yet decoded FrameRecords
         self._pending_error: Optional[Exception] = None
         self._mode: Optional[ProcessingMode] = None  # set below
@@ -213,11 +219,15 @@ class QoaDecoder:
         """Jump to frame ``index`` in O(1) (fixed mode, seekable source).
 
         QOA frames are self-contained (each header carries the full LMS
-        state, reference src/lib.rs:271-281) and fixed-mode frames are
-        uniformly sized, so the byte offset is pure arithmetic; the target
-        header is validated on the next read (garbage offsets raise the
-        usual typed errors).  The reference has no seeking API — this
-        falls out of the same property the batched kernels exploit.
+        state, reference src/lib.rs:271-281) and fixed-mode streams are
+        normally uniformly sized, so the byte offset is pure arithmetic.
+        The format does allow partial INTERIOR frames (the reference
+        tolerates them, src/lib.rs:54-57), which break the uniform-stride
+        assumption — so the landed bytes are verified against the exact
+        header word the uniform geometry predicts and ``IoError`` is
+        raised on mismatch instead of silently decoding wrong samples.
+        The reference has no seeking API — this falls out of the same
+        property the batched kernels exploit.
         """
         if not isinstance(self._mode, FixedSamples):
             raise IoError("seek requires a fixed-mode stream")
@@ -227,7 +237,29 @@ class QoaDecoder:
         if not 0 <= index < n_frames:
             raise IoError(f"frame index {index} out of range 0..{n_frames - 1}")
         self._drain_prefetch()  # the worker shares the reader cursor
-        self._reader.seek(fmt.QOA_HEADER_SIZE + index * self._first_frame_size)
+        off = fmt.QOA_HEADER_SIZE + index * self._first_frame_size
+        # uniform-stride geometry predicts this frame's header exactly
+        # (interior frames full-length, the final frame the remainder)
+        spc_exp = min(
+            self._mode.samples - index * self._first_frame_samples,
+            self._first_frame_samples,
+        )
+        exp = fmt.pack_frame_header(
+            self._mode.channels,
+            self._mode.sample_rate,
+            spc_exp,
+            fmt.qoa_frame_size(
+                self._mode.channels, -(-spc_exp // fmt.QOA_SLICE_LEN)
+            ),
+        )
+        self._reader.seek(off)
+        hdr = self._reader.read(8)
+        if len(hdr) < 8 or int.from_bytes(hdr, "big") != exp:
+            raise IoError(
+                f"seek_to_frame: no frame-{index} header at the uniform "
+                "stride offset (stream has non-uniform interior frames?)"
+            )
+        self._reader.seek(off)
         self._pending = np.empty(0, dtype=np.int16)
         self._pending_idx = 0
         self._queue.clear()
@@ -403,10 +435,12 @@ class QoaDecoder:
         """Read up to ``readahead`` frames and decode them batched.
 
         Consecutive frames with equal (channels, rate) share one decode
-        call; a format change (streaming mode) starts a new group.  Pure
-        producer: returns (queue items, deferred error) without touching
-        the consumer-visible queue/error state, so it can run on the
-        prefetch worker while the consumer drains the previous batch.
+        call; a format change (streaming mode) starts a new group.
+        Returns (queue items, deferred error) without touching the
+        consumer-visible ``_queue``; it DOES mutate the producer-side
+        state (``_records``, ``_tail``, ``_pending_error``) — safe on the
+        prefetch worker only under the single-in-flight-future invariant
+        documented at the attribute declarations in ``__init__``.
 
         Fast path: a uniform fixed-mode stream's frames are byte-identical
         in geometry, so the whole batch bulk-reads in ONE ``read`` and
@@ -445,7 +479,14 @@ class QoaDecoder:
                 self._records[0][0].sample_rate,
             ) == key:
                 group.append(self._records.popleft())
-            items.extend(self._decode_records(group))
+            try:
+                items.extend(self._decode_records(group))
+            except Exception as e:
+                # a decode-stage failure becomes the batch's deferred
+                # error: the items decoded so far still yield, then
+                # _raise_or_stop delivers the error with the decoder dead
+                self._pending_error = e
+                break
         err, self._pending_error = self._pending_error, None
         return items, err
 
@@ -494,12 +535,23 @@ class QoaDecoder:
         ).reshape(nw, m * C)
 
         dec = native.decode_chains(words_be, state)
-        pcm = native.interleave_trim(dec, m, C, m * spc)
+        if spc == nw * fmt.QOA_SLICE_LEN:
+            pcm = native.interleave_trim(dec, m, C, m * spc)
+            blocks = [
+                pcm[i * spc : (i + 1) * spc].reshape(-1) for i in range(m)
+            ]
+        else:
+            # non-window-aligned uniform frames (spc % 20 != 0, legal —
+            # the reference reads spc from every header, src/lib.rs:217-225):
+            # the fused interleave+trim lays frames at an nw*20 row stride
+            # and only trims the LAST frame, so interleave the padded
+            # layout and drop each frame's pad rows instead
+            full = native.interleave_trim(
+                dec, m, C, m * nw * fmt.QOA_SLICE_LEN
+            ).reshape(m, nw * fmt.QOA_SLICE_LEN, C)
+            blocks = [full[i, :spc].reshape(-1) for i in range(m)]
         hdr = FrameHeader(C, self._mode.sample_rate, spc)
-        items = [
-            (hdr, pcm[i * spc : (i + 1) * spc].reshape(-1), True)
-            for i in range(m)
-        ]
+        items = [(hdr, blocks[i], True) for i in range(m)]
         return items, None
 
     def _drain_prefetch(self) -> None:
@@ -516,8 +568,17 @@ class QoaDecoder:
             return
         if self._prefetch_future is not None:
             fut, self._prefetch_future = self._prefetch_future, None
-            items, err = fut.result()
-            self.prefetch_hits += 1
+            try:
+                items, err = fut.result()
+            except Exception as e:
+                # a worker failure outside _produce's own error handling
+                # (e.g. a native-engine fault) must still flow through the
+                # typed _raise_or_stop path with the decoder marked dead —
+                # never propagate raw out of __next__ and retry from an
+                # inconsistent reader position
+                items, err = [], e
+            else:
+                self.prefetch_hits += 1
         else:
             items, err = self._produce()
         self._queue.extend(items)

@@ -408,3 +408,106 @@ def test_prefetch_seek_interaction(tmp_path, fixture_bytes):
     assert np.array_equal(
         codec.decode_all(fixture_bytes).samples[:n], flat[:n]
     )
+
+
+@pytest.mark.parametrize("frame_len", [2570, 2560, 100])
+def test_streaming_decoder_non_default_uniform_frames(frame_len):
+    # the slab fast path must deliver exact PCM for VALID uniform streams
+    # whose frame length is not a multiple of 20 (2570): the fused
+    # interleave+trim stride only trims the last frame, so non-aligned
+    # slabs need per-frame trimming (regression: first mismatch used to
+    # appear in the second slab batch)
+    channels = 2
+    n_frames = 20
+    n = frame_len * (n_frames - 1) + frame_len // 2
+    pcm = make_noise(n, channels, seed=31)
+    data = _encode_uniform_frames(pcm, channels, 44100, frame_len)
+    want = codec.decode_all(data).samples
+
+    dec = QoaDecoder(data, readahead=4)
+    slab_batches = 0
+    orig = dec._produce_slab
+
+    def spy():
+        nonlocal slab_batches
+        out = orig()
+        if out is not None:
+            slab_batches += 1
+        return out
+
+    dec._produce_slab = spy
+    got = dec.decode_pending()
+    assert np.array_equal(got, want)
+    if dec._backend == "native":
+        assert slab_batches >= 2  # the fast path actually ran, repeatedly
+
+
+@pytest.mark.parametrize("source", ["fixed", "streaming"])
+def test_jax_backend_streaming_decoder(source):
+    # the jax device-kernel branch of _decode_group must deliver the same
+    # sample stream as decode_all (multi-frame + short tail), in both
+    # fixed mode and streaming mode with a mid-stream format change
+    channels = 2
+    n = 5120 * 2 + 777  # two full frames + a short, non-window-aligned tail
+    pcm = make_noise(n, channels, seed=91)
+    data = codec.encode_all(pcm, QoaDesc(channels, 44100, n))
+    want = codec.decode_all(data).samples
+    if source == "fixed":
+        dec = QoaDecoder(data, backend="jax", readahead=2)
+        assert np.array_equal(dec.decode_pending(), want)
+    else:
+        qoa = QoaDecoder.new_streaming(backend="jax")
+        assert np.array_equal(qoa.decode_frame(data[8:]), want)
+        # format change: different channel count and rate mid-stream
+        pcm2 = make_noise(300, 1, seed=92)
+        d2 = codec.encode_all(pcm2, QoaDesc(1, 22050, 300))
+        assert np.array_equal(
+            qoa.decode_frame(d2[8:]), codec.decode_all(d2).samples
+        )
+        assert qoa.current_frame_header() == FrameHeader(1, 22050, 300)
+
+
+def test_seek_to_frame_non_uniform_stream_raises():
+    # fixed-mode streams may legally contain partial INTERIOR frames
+    # (reference src/lib.rs:54-57); the uniform-stride seek must detect
+    # the geometry break and raise instead of mis-seeking silently
+    channels = 1
+    lens = [5120, 3000, 5120, 2000]  # interior partial frames
+    n = sum(lens)
+    pcm = make_noise(n, channels, seed=44)
+    enc = QoaEncoder(QoaDesc(channels, 44100, n))
+    buf = io.BytesIO()
+    enc.write_header(buf)
+    off = 0
+    for ln in lens:
+        enc.encode_frame(pcm[off * channels : (off + ln) * channels], buf)
+        off += ln
+    data = buf.getvalue()
+
+    from qoaudio_tpu.errors import IoError as QIoError
+
+    dec = QoaDecoder(data)
+    dec.seek_to_frame(0)  # frame 0 always lies at the arithmetic offset
+    hdr, block = dec.next_frame()
+    assert np.array_equal(
+        block, codec.decode_all(data).samples[: 5120 * channels]
+    )
+    with pytest.raises(QIoError):
+        dec.seek_to_frame(1)  # frame 1 exists but not at index*stride
+
+    # and a NON-default uniform stream still seeks fine (the prediction
+    # derives from the parsed first-frame geometry, not the 5120 default)
+    frame_len = 2570
+    n2 = frame_len * 3 + 123
+    pcm2 = make_noise(n2, channels, seed=45)
+    data2 = _encode_uniform_frames(pcm2, channels, 44100, frame_len)
+    want2 = codec.decode_all(data2).samples.reshape(-1, channels)
+    dec2 = QoaDecoder(data2)
+    for k in (2, 0, 3):
+        dec2.seek_to_frame(k)
+        hdr, block = dec2.next_frame()
+        lo = k * frame_len
+        assert np.array_equal(
+            np.asarray(block).reshape(-1, channels),
+            want2[lo : lo + hdr.num_samples_per_channel],
+        ), f"frame {k}"
