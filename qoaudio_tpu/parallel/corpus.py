@@ -347,7 +347,9 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
     return outs
 
 
-def batch_transcode(streams: Sequence[bytes], chunk_frames: int = 64) -> List[bytes]:
+def batch_transcode(
+    streams: Sequence[bytes], chunk_frames: int = 64, mesh=None
+) -> List[bytes]:
     """Transcode many QOA streams with PCM **HBM-resident end to end**
     (the BASELINE.json north-star deployment shape): the decode kernel's
     output re-lays out ON DEVICE into the encoder's frame layout and feeds
@@ -359,9 +361,14 @@ def batch_transcode(streams: Sequence[bytes], chunk_frames: int = 64) -> List[by
     encoder sample (f, w, k), so one gather over the chain axis maps
     decode chains (file x frame x channel) onto encode chains
     (file x channel) and ``lens`` derives from per-file sample counts with
-    broadcast arithmetic.  Streams with non-standard uniform frame sizes
-    (or that the arithmetic parser rejects) fall back to the host
+    broadcast arithmetic.  Single-frame files of any length satisfy this
+    trivially; multi-frame streams with non-standard uniform frame sizes
+    (or streams the arithmetic parser rejects) fall back to the host
     decode -> encode pair, which produces identical bytes.
+
+    With ``mesh`` both the decode chain axis and the encode chain axis
+    shard independently over the devices (no hot-loop collectives — the
+    chains are embarrassingly parallel; only the relayout reshards).
     """
     import jax
     import jax.numpy as jnp
@@ -372,7 +379,8 @@ def batch_transcode(streams: Sequence[bytes], chunk_frames: int = 64) -> List[by
         return []
     parsed = [parse_file_arrays(d) for d in streams]
     if any(
-        p is None or int(p.samples_per_frame[0]) != fmt.QOA_FRAME_LEN
+        p is None
+        or (p.n_frames > 1 and int(p.samples_per_frame[0]) != fmt.QOA_FRAME_LEN)
         for p in parsed
     ) or _jax_platform() is None:
         return [
@@ -394,11 +402,12 @@ def batch_transcode(streams: Sequence[bytes], chunk_frames: int = 64) -> List[by
         n += p.n_frames * p.channels
     Nd = n
 
+    n_dev = mesh.size if mesh is not None else 1
     if on_tpu:
         from ..ops.pallas_decode import LANES as DL, decode_chains_pallas, pick_tile
 
-        subs, wblk = pick_tile(Nd)
-        tile = subs * DL
+        subs, wblk = pick_tile(-(-Nd // n_dev))
+        tile = subs * DL * n_dev
         Ndp = -(-Nd // tile) * tile
         Wp = -(-W // wblk) * wblk
         hi = np.zeros((Wp, Ndp), np.uint32)
@@ -414,29 +423,40 @@ def batch_transcode(streams: Sequence[bytes], chunk_frames: int = 64) -> List[by
                 logical & np.uint64(0xFFFFFFFF)
             ).astype(np.uint32)
             dstate[:, off : off + k] = p.state
-        dec = decode_chains_pallas(
-            jax.device_put(dstate), jax.device_put(hi), jax.device_put(lo),
-            subs=subs, wblk=wblk,
-        )  # (Wp, 20, Ndp) int16, stays on device
+        if mesh is not None:
+            from .mesh import decode_chains_pallas_sharded
+
+            dec = decode_chains_pallas_sharded(mesh, dstate, hi, lo, subs, wblk)
+        else:
+            dec = decode_chains_pallas(
+                jax.device_put(dstate), jax.device_put(hi), jax.device_put(lo),
+                subs=subs, wblk=wblk,
+            )  # (Wp, 20, Ndp) int16, stays on device
     else:
         from ..ops.decode import decode_chains
 
-        words_be = np.zeros((W, Nd), np.uint64)
-        dstate = np.zeros((8, Nd), np.int32)
+        Ndp = -(-Nd // n_dev) * n_dev
+        words_be = np.zeros((W, Ndp), np.uint64)
+        dstate = np.zeros((8, Ndp), np.int32)
         for p, off in zip(parsed, doffs):
             k = p.n_frames * p.channels
             words_be[: p.max_windows, off : off + k] = p.words_be
             dstate[:, off : off + k] = p.state
         logical = words_be.view(np.uint64).byteswap()
         sf = (logical >> np.uint64(60)).astype(np.int32)
-        codes = np.zeros((W, fmt.QOA_SLICE_LEN, Nd), np.int32)
+        codes = np.zeros((W, fmt.QOA_SLICE_LEN, Ndp), np.int32)
         for k in range(fmt.QOA_SLICE_LEN):
             codes[:, k] = ((logical >> np.uint64(57 - 3 * k)) & np.uint64(7)).astype(
                 np.int32
             )
-        dec = decode_chains(
-            jax.device_put(dstate), jax.device_put(sf), jax.device_put(codes)
-        )  # (W, 20, Nd)
+        if mesh is not None:
+            from .mesh import decode_chains_sharded
+
+            dec = decode_chains_sharded(mesh, dstate, sf, codes)
+        else:
+            dec = decode_chains(
+                jax.device_put(dstate), jax.device_put(sf), jax.device_put(codes)
+            )  # (W, 20, Ndp)
 
     # ---- on-device re-layout: decode chains -> encoder frame layout ----
     from ..codec import initial_encoder_state
@@ -447,16 +467,7 @@ def batch_transcode(streams: Sequence[bytes], chunk_frames: int = 64) -> List[by
         eoffs.append(n)
         n += p.channels
     Ne = n
-    if on_tpu:
-        from ..ops.pallas_encode import LANES as EL, encode_frames_pallas
-
-        e_mult = EL
-        kernel = encode_frames_pallas
-    else:
-        from ..ops.encode import encode_frames
-
-        e_mult = 1
-        kernel = encode_frames
+    kernel, e_mult = _pick_kernel(mesh, Ne)
     Nep = -(-Ne // e_mult) * e_mult
 
     F_max = max(p.n_frames for p in parsed)

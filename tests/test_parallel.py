@@ -257,3 +257,57 @@ def test_batch_transcode_nonstandard_framing_falls_back():
         out.samples, QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel)
     )
     assert got == want
+
+
+def test_batch_transcode_sharded_matches_unsharded():
+    # the flagship HBM-resident pipeline under a mesh: decode chains and
+    # encode chains shard independently; bytes must equal the unsharded
+    # device path AND the host decode->encode pair
+    from qoaudio_tpu.parallel.corpus import batch_transcode
+
+    mesh = make_mesh()
+    files = [
+        (make_noise(5120 * 2 + 300, 2, seed=71), QoaDesc(2, 44100, 5120 * 2 + 300)),
+        (make_noise(700, 1, seed=72), QoaDesc(1, 22050, 700)),
+    ]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    plain = batch_transcode(streams)
+    sharded = batch_transcode(streams, mesh=mesh)
+    assert plain == sharded
+    for s, g in zip(streams, sharded):
+        out = codec.decode_all(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want
+
+
+def test_batch_transcode_single_frame_files_use_device_path(monkeypatch):
+    # single-frame files of ANY length satisfy the relayout identity, so a
+    # corpus of short clips must NOT fall back to the host pair
+    from qoaudio_tpu import codec as qcodec
+    from qoaudio_tpu.parallel import corpus
+
+    calls = {"n": 0}
+    orig = qcodec.decode_all
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(qcodec, "decode_all", spy)
+    files = [
+        (make_noise(45, 2, seed=81), QoaDesc(2, 44100, 45)),
+        (make_noise(700, 1, seed=82), QoaDesc(1, 22050, 700)),
+    ]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    got = corpus.batch_transcode(streams)
+    assert calls["n"] == 0, "single-frame corpus fell back to the host pair"
+    for s, g in zip(streams, got):
+        out = orig(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want
