@@ -269,14 +269,16 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
                 logical & np.uint64(0xFFFFFFFF)
             ).astype(np.uint32)
             state[:, off : off + k] = p.state
+        from ..utils.transfer import fetch_array
+
         if mesh is not None:
             from .mesh import decode_chains_pallas_sharded
 
-            dec = np.asarray(
+            dec = fetch_array(
                 decode_chains_pallas_sharded(mesh, state, hi, lo, subs, wblk)
             )
         else:
-            dec = np.asarray(
+            dec = fetch_array(
                 decode_chains_pallas(state, hi, lo, subs=subs, wblk=wblk)
             )
     elif mesh is not None:
@@ -345,6 +347,107 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
             )
         )
     return outs
+
+
+def _transcode_lens(samples_i32, F_pad: int, W_enc: int):
+    """lens[f, w, j] = clip(min(samples_j - f*5120, 5120) - w*20, 0, 20)."""
+    import jax.numpy as jnp
+
+    f_i = jnp.arange(F_pad, dtype=jnp.int32)[:, None, None]
+    w_i = jnp.arange(W_enc, dtype=jnp.int32)[None, :, None]
+    spc = jnp.clip(
+        samples_i32[None, None, :] - f_i * fmt.QOA_FRAME_LEN,
+        0,
+        fmt.QOA_FRAME_LEN,
+    )
+    return jnp.clip(spc - w_i * fmt.QOA_SLICE_LEN, 0, fmt.QOA_SLICE_LEN)
+
+
+_TRANSCODE_FUSED_CACHE: dict = {}
+
+
+def _transcode_fused_fn(metas, W_enc: int, F_pad: int, Ne: int, Nep: int,
+                        platform: str, dec_cfg=None):
+    """Build (and cache per corpus signature) ONE jitted device function
+    for the whole pipeline: decode (folded in on TPU) -> chain relayout ->
+    lens -> full encode -> tight per-file packing of the outputs.
+
+    Two structural costs dominated the first measurement on the
+    remote-tunnel device ("axon": D2H sustains only ~20-40 MB/s and every
+    dispatch pays real latency):
+    * eager per-file relayout + chunked kernel calls = ~140 dispatches ->
+      everything now traces into one executable (one dispatch);
+    * fetching the dense (F_pad, W_enc, Nep) word cube moved ~1.7x the
+      real compressed payload -> the kernel now concatenates each file's
+      (F_i, W_enc, C_i) region into flat u32 buffers on device, so the
+      fetch is exactly the compressed words + LMS snapshots.
+
+    The per-file relayout is dense reshape/transpose (XLA copies; a single
+    2-D gather over the chain axis compiles to a pathologically slow
+    scatter on TPU), concatenated once along the encode-chain axis.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = (metas, W_enc, F_pad, Ne, Nep, platform, dec_cfg)
+    fn = _TRANSCODE_FUSED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    if platform == "tpu":
+        from ..ops.pallas_decode import decode_chains_pallas
+        from ..ops.pallas_encode import encode_frames_pallas as enc_kernel
+    else:
+        from ..ops.encode import encode_frames as enc_kernel
+
+    def _pipeline(dec, samples_i32, state):
+        decT = jnp.transpose(dec[:W_enc], (2, 0, 1))  # (Nd, W_enc, 20)
+        blocks = []
+        for F_i, C, doff, _eoff in metas:
+            k = F_i * C
+            blk = decT[doff : doff + k].reshape(
+                F_i, C, W_enc, fmt.QOA_SLICE_LEN
+            )
+            blk = jnp.transpose(blk, (0, 2, 3, 1))  # (F_i, W_enc, 20, C)
+            if F_i < F_pad:
+                blk = jnp.pad(
+                    blk, ((0, F_pad - F_i), (0, 0), (0, 0), (0, 0))
+                )
+            blocks.append(blk)
+        if Nep > Ne:
+            blocks.append(
+                jnp.zeros((F_pad, W_enc, fmt.QOA_SLICE_LEN, Nep - Ne), jnp.int16)
+            )
+        x_enc = jnp.concatenate(blocks, axis=3)
+        lens = _transcode_lens(samples_i32, F_pad, W_enc)
+        _, snaps, whi, wlo = enc_kernel(state, x_enc, lens)
+        # tight per-file packing: only real compressed data crosses D2H
+        hp, lp, sp = [], [], []
+        for F_i, C, _doff, eoff in metas:
+            hp.append(whi[:F_i, :, eoff : eoff + C].reshape(-1))
+            lp.append(wlo[:F_i, :, eoff : eoff + C].reshape(-1))
+            sp.append(
+                snaps[:F_i, :, eoff : eoff + C].astype(jnp.int32).reshape(-1)
+            )
+        return (
+            jnp.concatenate(sp),
+            jnp.concatenate(hp),
+            jnp.concatenate(lp),
+        )
+
+    if platform == "tpu":
+        subs, wblk = dec_cfg
+
+        @jax.jit
+        def fused(dstate, hi, lo, samples_i32, state):
+            dec = decode_chains_pallas(dstate, hi, lo, subs=subs, wblk=wblk)
+            return _pipeline(dec, samples_i32, state)
+    else:
+        fused = jax.jit(_pipeline)
+
+    if len(_TRANSCODE_FUSED_CACHE) >= 32:  # bound compile-cache growth
+        _TRANSCODE_FUSED_CACHE.pop(next(iter(_TRANSCODE_FUSED_CACHE)))
+    _TRANSCODE_FUSED_CACHE[key] = fused
+    return fused
 
 
 def batch_transcode(
@@ -428,10 +531,7 @@ def batch_transcode(
 
             dec = decode_chains_pallas_sharded(mesh, dstate, hi, lo, subs, wblk)
         else:
-            dec = decode_chains_pallas(
-                jax.device_put(dstate), jax.device_put(hi), jax.device_put(lo),
-                subs=subs, wblk=wblk,
-            )  # (Wp, 20, Ndp) int16, stays on device
+            dec = None  # folded into the fused pipeline dispatch below
     else:
         from ..ops.decode import decode_chains
 
@@ -458,7 +558,7 @@ def batch_transcode(
                 jax.device_put(dstate), jax.device_put(sf), jax.device_put(codes)
             )  # (W, 20, Ndp)
 
-    # ---- on-device re-layout: decode chains -> encoder frame layout ----
+    # ---- on-device re-layout + encode ----
     from ..codec import initial_encoder_state
 
     eoffs = []
@@ -482,53 +582,91 @@ def batch_transcode(
     for p, eoff in zip(parsed, eoffs):
         samples[eoff : eoff + p.channels] = int(p.samples_per_frame.sum())
 
-    # per-file relayout with dense reshape/transpose (XLA copies; a single
-    # 2-D gather over the chain axis compiles to a pathologically slow
-    # scatter on TPU), then ONE concat along the encode-chain axis
-    decT = jnp.transpose(dec[:W_enc], (2, 0, 1))  # (Nd, W_enc, 20)
-    blocks = []
-    for p, doff in zip(parsed, doffs):
-        C = p.channels
-        k = p.n_frames * C
-        blk = decT[doff : doff + k].reshape(p.n_frames, C, W_enc, fmt.QOA_SLICE_LEN)
-        blk = jnp.transpose(blk, (0, 2, 3, 1))  # (F_i, W_enc, 20, C)
-        if p.n_frames < F_pad:
-            blk = jnp.pad(blk, ((0, F_pad - p.n_frames), (0, 0), (0, 0), (0, 0)))
-        blocks.append(blk)
-    if Nep > Ne:
-        blocks.append(
-            jnp.zeros((F_pad, W_enc, fmt.QOA_SLICE_LEN, Nep - Ne), jnp.int16)
-        )
-    x_enc = jnp.concatenate(blocks, axis=3)
-    # lens[f, w, j] = clip(min(samples_j - f*5120, 5120) - w*20, 0, 20)
-    f_i = jnp.arange(F_pad, dtype=jnp.int32)[:, None, None]
-    w_i = jnp.arange(W_enc, dtype=jnp.int32)[None, :, None]
-    spc = jnp.clip(
-        jnp.asarray(samples, jnp.int32)[None, None, :] - f_i * fmt.QOA_FRAME_LEN,
-        0,
-        fmt.QOA_FRAME_LEN,
+    metas = tuple(
+        (p.n_frames, p.channels, doff, eoff)
+        for p, doff, eoff in zip(parsed, doffs, eoffs)
     )
-    lens = jnp.clip(spc - w_i * fmt.QOA_SLICE_LEN, 0, fmt.QOA_SLICE_LEN)
+    state = initial_encoder_state(0, Nep)
+    if mesh is None:
+        # the WHOLE device pipeline (decode on TPU, relayout, lens, encode,
+        # tight packing) in ONE jitted dispatch, cached per corpus
+        # signature; the three flat output buffers fetch concurrently
+        if on_tpu:
+            fn = _transcode_fused_fn(
+                metas, W_enc, F_pad, Ne, Nep, "tpu", dec_cfg=(subs, wblk)
+            )
+            sp_d, hp_d, lp_d = fn(
+                jax.device_put(dstate),
+                jax.device_put(hi),
+                jax.device_put(lo),
+                jnp.asarray(samples, jnp.int32),
+                jax.device_put(state),
+            )
+        else:
+            fn = _transcode_fused_fn(
+                metas, W_enc, F_pad, Ne, Nep, _jax_platform()
+            )
+            sp_d, hp_d, lp_d = fn(
+                dec, jnp.asarray(samples, jnp.int32), jax.device_put(state)
+            )
+        from ..utils.transfer import fetch_arrays
 
-    # ---- encode: chunked scan, PCM never leaves the device ----
-    state = jax.device_put(initial_encoder_state(0, Nep))
-    words_parts, snaps_parts = [], []
-    for f0 in range(0, F_pad, chunk):
-        state, snaps, whi, wlo = kernel(
-            state, x_enc[f0 : f0 + chunk], lens[f0 : f0 + chunk]
-        )
-        # slice padding chains off ON DEVICE: only real compressed words
-        # and snapshots cross the wire
-        words_parts.append((whi[:, :, :Ne], wlo[:, :, :Ne]))
-        snaps_parts.append(snaps[:, :, :Ne])
-    words = np.concatenate(
-        [
-            (np.asarray(h).astype(np.uint64) << np.uint64(32))
-            | np.asarray(l).astype(np.uint64)
-            for h, l in words_parts
-        ]
-    )  # (F_pad, W_enc, Ne)
-    snaps = np.concatenate([np.asarray(s) for s in snaps_parts])  # (F_pad, 8, Ne)
+        sp, hp, lp = fetch_arrays([sp_d, hp_d, lp_d])
+
+        out: List[bytes] = []
+        o_w = o_s = 0
+        for (F_i, C, _doff, _eoff), p in zip(metas, parsed):
+            nw = F_i * W_enc * C
+            words_f = (
+                hp[o_w : o_w + nw].astype(np.uint64) << np.uint64(32)
+            ) | lp[o_w : o_w + nw].astype(np.uint64)
+            snaps_f = sp[o_s : o_s + F_i * 8 * C].reshape(F_i, 8, C)
+            o_w += nw
+            o_s += F_i * 8 * C
+            out.append(
+                bs.assemble_stream_bytes(
+                    C,
+                    p.sample_rate,
+                    int(p.samples_per_frame.sum()),
+                    snaps_f,
+                    words_f.reshape(F_i, W_enc, C),
+                )
+            )
+        return out
+    else:
+        # mesh path: explicit shard_map kernels (not fusable under one jit);
+        # relayout runs eagerly and XLA reshards between stages
+        decT = jnp.transpose(dec[:W_enc], (2, 0, 1))  # (Nd, W_enc, 20)
+        blocks = []
+        for F_i, C, doff, _eoff in metas:
+            k = F_i * C
+            blk = decT[doff : doff + k].reshape(F_i, C, W_enc, fmt.QOA_SLICE_LEN)
+            blk = jnp.transpose(blk, (0, 2, 3, 1))  # (F_i, W_enc, 20, C)
+            if F_i < F_pad:
+                blk = jnp.pad(blk, ((0, F_pad - F_i), (0, 0), (0, 0), (0, 0)))
+            blocks.append(blk)
+        if Nep > Ne:
+            blocks.append(
+                jnp.zeros((F_pad, W_enc, fmt.QOA_SLICE_LEN, Nep - Ne), jnp.int16)
+            )
+        x_enc = jnp.concatenate(blocks, axis=3)
+        lens = _transcode_lens(jnp.asarray(samples, jnp.int32), F_pad, W_enc)
+        state_d = jax.device_put(state)
+        words_parts, snaps_parts = [], []
+        for f0 in range(0, F_pad, chunk):
+            state_d, snaps, whi, wlo = kernel(
+                state_d, x_enc[f0 : f0 + chunk], lens[f0 : f0 + chunk]
+            )
+            words_parts.append((whi[:, :, :Ne], wlo[:, :, :Ne]))
+            snaps_parts.append(snaps[:, :, :Ne])
+        words = np.concatenate(
+            [
+                (np.asarray(h).astype(np.uint64) << np.uint64(32))
+                | np.asarray(l).astype(np.uint64)
+                for h, l in words_parts
+            ]
+        )  # (F_pad, W_enc, Ne)
+        snaps = np.concatenate([np.asarray(s) for s in snaps_parts])
 
     # ---- host byte assembly (compressed-domain only, vectorized) ----
     out: List[bytes] = []
