@@ -247,7 +247,15 @@ def bench_pallas_decode(data) -> float:
             )
         log("parity gate: pallas decode bit-exact vs native engine")
     d2 = chain(2)
-    per = min((chain(12) - d2) / 10 for _ in range(2))
+    pers = [(chain(12) - d2) / 10 for _ in range(3)]
+    ok = sorted(p for p in pers if p > 3e-4)  # sub-0.3ms/launch = garbage
+    if ok:
+        per = ok[len(ok) // 2]  # median: tunnel sessions drift both ways
+    else:
+        # nonlinear tunnel session (observed: negative slopes): report the
+        # conservative whole-chain average, which still contains the RTT
+        per = chain(12) / 12
+        log("decode chain slope implausible; reporting RTT-inclusive bound")
     msps = Wp * 20 * N / per / 1e6
     log(f"pallas batched decode: {per*1e3:.2f} ms = {msps/1e3:.2f} Gsamples/s")
     return msps
