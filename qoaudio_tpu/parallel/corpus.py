@@ -365,6 +365,11 @@ def _transcode_lens(samples_i32, F_pad: int, W_enc: int):
 
 _TRANSCODE_FUSED_CACHE: dict = {}
 
+# Bench seam: (fused_fn, device_args) of the most recent unsharded-TPU
+# batch_transcode call, so bench.py can time the pure device pipeline
+# (chained launches, no host staging/fetch) without duplicating staging.
+_LAST_FUSED_CALL = None
+
 
 def _transcode_fused_fn(metas, W_enc: int, F_pad: int, Ne: int, Nep: int,
                         platform: str, dec_cfg=None):
@@ -595,13 +600,16 @@ def batch_transcode(
             fn = _transcode_fused_fn(
                 metas, W_enc, F_pad, Ne, Nep, "tpu", dec_cfg=(subs, wblk)
             )
-            sp_d, hp_d, lp_d = fn(
+            args = (
                 jax.device_put(dstate),
                 jax.device_put(hi),
                 jax.device_put(lo),
                 jnp.asarray(samples, jnp.int32),
                 jax.device_put(state),
             )
+            global _LAST_FUSED_CALL  # bench seam (chip-rate timing)
+            _LAST_FUSED_CALL = (fn, args)
+            sp_d, hp_d, lp_d = fn(*args)
         else:
             fn = _transcode_fused_fn(
                 metas, W_enc, F_pad, Ne, Nep, _jax_platform()
