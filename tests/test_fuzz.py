@@ -9,6 +9,8 @@
 Deterministic seeds stand in for libFuzzer's corpus.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -99,13 +101,21 @@ def test_random_pcm_encode_roundtrip_shape(channels, n):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
+# QOA_FUZZ_SCALE multiplies every max_examples (default 1): a deep fuzz
+# session is `QOA_FUZZ_SCALE=20 pytest tests/test_fuzz.py`
+_SCALE = max(1, int(os.environ.get("QOA_FUZZ_SCALE", "1")))
+
 _FUZZ_SETTINGS = dict(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
 
 
-@settings(max_examples=250, **_FUZZ_SETTINGS)
+def _ex(n: int) -> int:
+    return n * _SCALE
+
+
+@settings(max_examples=_ex(250), **_FUZZ_SETTINGS)
 @given(blob=st.binary(max_size=4096))
 def test_hypothesis_arbitrary_bytes_decode(blob):
     try:
@@ -115,7 +125,7 @@ def test_hypothesis_arbitrary_bytes_decode(blob):
         pass
 
 
-@settings(max_examples=150, **_FUZZ_SETTINGS)
+@settings(max_examples=_ex(150), **_FUZZ_SETTINGS)
 @given(blob=st.binary(max_size=2048), data=st.data())
 def test_hypothesis_magic_prefixed_bytes_iterator(data, blob):
     # bias toward streams that pass the magic check and exercise frame
@@ -131,7 +141,7 @@ def test_hypothesis_magic_prefixed_bytes_iterator(data, blob):
         pass
 
 
-@settings(max_examples=120, **_FUZZ_SETTINGS)
+@settings(max_examples=_ex(120), **_FUZZ_SETTINGS)
 @given(
     channels=st.integers(min_value=1, max_value=8),
     n=st.integers(min_value=1, max_value=600),
@@ -146,7 +156,7 @@ def test_hypothesis_pcm_roundtrip_shape(channels, n, seed):
     assert len(out.samples) == n * channels
 
 
-@settings(max_examples=25, **_FUZZ_SETTINGS)
+@settings(max_examples=_ex(25), **_FUZZ_SETTINGS)
 @given(
     channels=st.integers(min_value=1, max_value=4),
     n=st.integers(min_value=1, max_value=120),
@@ -163,7 +173,7 @@ def test_hypothesis_pcm_bytes_equal_oracle(channels, n, seed):
     assert data == ref.encode_all_py(pcm, channels, 44100, n)
 
 
-@settings(max_examples=60, **_FUZZ_SETTINGS)
+@settings(max_examples=_ex(60), **_FUZZ_SETTINGS)
 @given(data=st.data())
 def test_hypothesis_truncations_of_valid_stream(data):
     # every prefix of a valid stream must decode cleanly or raise typed
@@ -210,7 +220,7 @@ def test_adversarial_weight_wrap_bit_exact():
             assert got == want, be
 
 
-@settings(max_examples=80, **_FUZZ_SETTINGS)
+@settings(max_examples=_ex(80), **_FUZZ_SETTINGS)
 @given(data=st.data())
 def test_hypothesis_truncation_item_fidelity(data):
     """A truncated stream must yield EXACTLY the reference's item sequence
