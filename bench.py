@@ -269,7 +269,7 @@ def bench_pallas_decode(data) -> float:
 RUST_TRANSCODE_MSPS = 1.0 / (1.0 / RUST_DECODE_MSPS + 1.0 / RUST_ENCODE_MSPS)
 
 
-def bench_transcode_hbm(pcm, channels) -> float:
+def bench_transcode_hbm(pcm, channels) -> "tuple[float, float | None]":
     """North-star deployment shape (BASELINE.json config 5): batched
     multi-file transcode with PCM HBM-resident between the decode and
     encode kernels.  Corpus: 32 files, mixed channels / sample rates /
@@ -278,9 +278,11 @@ def bench_transcode_hbm(pcm, channels) -> float:
     the timed number is honest end-to-end (bytes in -> bytes out,
     including host parse and stream assembly)."""
     from qoaudio_tpu import codec
+    from qoaudio_tpu.parallel import corpus as _corpus_mod
     from qoaudio_tpu.parallel.corpus import batch_transcode
     from qoaudio_tpu.types import QoaDesc
 
+    _corpus_mod._BENCH_KEEP_FUSED = True  # enable the chip-rate seam
     stereo = np.asarray(pcm).reshape(-1, channels)
     n_src = stereo.shape[0]
     files = []

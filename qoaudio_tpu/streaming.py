@@ -252,9 +252,18 @@ class QoaDecoder:
                 self._mode.channels, -(-spc_exp // fmt.QOA_SLICE_LEN)
             ),
         )
+        # verify BEFORE committing: on mismatch the reader is restored and
+        # every decoder attribute is untouched, so a caller that catches
+        # the typed error keeps a fully consistent decoder
+        try:
+            pos0 = self._reader.tell()
+        except (OSError, AttributeError):
+            pos0 = None
         self._reader.seek(off)
         hdr = self._reader.read(8)
         if len(hdr) < 8 or int.from_bytes(hdr, "big") != exp:
+            if pos0 is not None:
+                self._reader.seek(pos0)
             raise IoError(
                 f"seek_to_frame: no frame-{index} header at the uniform "
                 "stride offset (stream has non-uniform interior frames?)"
@@ -535,23 +544,18 @@ class QoaDecoder:
         ).reshape(nw, m * C)
 
         dec = native.decode_chains(words_be, state)
-        if spc == nw * fmt.QOA_SLICE_LEN:
-            pcm = native.interleave_trim(dec, m, C, m * spc)
-            blocks = [
-                pcm[i * spc : (i + 1) * spc].reshape(-1) for i in range(m)
-            ]
-        else:
-            # non-window-aligned uniform frames (spc % 20 != 0, legal —
-            # the reference reads spc from every header, src/lib.rs:217-225):
-            # the fused interleave+trim lays frames at an nw*20 row stride
-            # and only trims the LAST frame, so interleave the padded
-            # layout and drop each frame's pad rows instead
-            full = native.interleave_trim(
-                dec, m, C, m * nw * fmt.QOA_SLICE_LEN
-            ).reshape(m, nw * fmt.QOA_SLICE_LEN, C)
-            blocks = [full[i, :spc].reshape(-1) for i in range(m)]
+        # interleave at the full nw*20 row stride, then take each frame's
+        # first spc rows (contiguous views, no copies).  This is exact for
+        # BOTH window-aligned frames (spc == nw*20: the slice is the whole
+        # frame) and non-aligned uniform frames (spc % 20 != 0, legal —
+        # the reference reads spc from every header, src/lib.rs:217-225 —
+        # where the fused interleave+trim's single trailing trim would
+        # corrupt every frame after the first)
+        full = native.interleave_trim(
+            dec, m, C, m * nw * fmt.QOA_SLICE_LEN
+        ).reshape(m, nw * fmt.QOA_SLICE_LEN, C)
         hdr = FrameHeader(C, self._mode.sample_rate, spc)
-        items = [(hdr, blocks[i], True) for i in range(m)]
+        items = [(hdr, full[i, :spc].reshape(-1), True) for i in range(m)]
         return items, None
 
     def _drain_prefetch(self) -> None:

@@ -102,8 +102,12 @@ from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 # QOA_FUZZ_SCALE multiplies every max_examples (default 1): a deep fuzz
-# session is `QOA_FUZZ_SCALE=20 pytest tests/test_fuzz.py`
-_SCALE = max(1, int(os.environ.get("QOA_FUZZ_SCALE", "1")))
+# session is `QOA_FUZZ_SCALE=20 pytest tests/test_fuzz.py`.  Unparseable
+# values fall back to 1 rather than aborting collection of this module.
+try:
+    _SCALE = max(1, int(os.environ.get("QOA_FUZZ_SCALE", "1")))
+except ValueError:
+    _SCALE = 1
 
 _FUZZ_SETTINGS = dict(
     deadline=None,

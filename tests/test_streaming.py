@@ -495,6 +495,16 @@ def test_seek_to_frame_non_uniform_stream_raises():
     with pytest.raises(QIoError):
         dec.seek_to_frame(1)  # frame 1 exists but not at index*stride
 
+    # the failed seek must leave the decoder fully consistent: iteration
+    # resumes exactly where it stood (frame 1 comes next), no stale
+    # buffers, no dead flag
+    want_all = codec.decode_all(data).samples
+    hdr2, block2 = dec.next_frame()
+    assert hdr2.num_samples_per_channel == lens[1]
+    assert np.array_equal(
+        block2, want_all[5120 * channels : (5120 + lens[1]) * channels]
+    )
+
     # and a NON-default uniform stream still seeks fine (the prediction
     # derives from the parsed first-frame geometry, not the 5120 default)
     frame_len = 2570
