@@ -66,7 +66,7 @@ def _jax_platform():
         return None
 
 
-def _pick_kernel(mesh, N):
+def _pick_kernel(mesh):
     """Choose the device kernel: Pallas on TPU (lanes padded to 128),
     the XLA kernel elsewhere; sharded variants when a mesh is given."""
     on_tpu = _jax_platform() == "tpu"
@@ -144,7 +144,7 @@ def batch_encode(
         n += d.channels
     N = n
 
-    kernel, n_multiple = _pick_kernel(mesh, N)
+    kernel, n_multiple = _pick_kernel(mesh)
     N = -(-N // n_multiple) * n_multiple  # pad chains for kernel/mesh tiles
 
     # The leading min_i floor(samples_i / 5120) frames are FULL (20 valid
@@ -219,6 +219,83 @@ def batch_encode(
     return out
 
 
+def _logical_words(words_be: np.ndarray) -> np.ndarray:
+    """Raw big-endian u64 words -> logical values (byteswap allocates)."""
+    return words_be.view(np.uint64).byteswap()
+
+
+def _stage_word_halves(parsed, offs, Wp: int, Np: int):
+    """Stage per-file slice words/state into dense (hi, lo, state) arrays
+    for the Pallas decoder (shared by batch_decode and batch_transcode)."""
+    hi = np.zeros((Wp, Np), np.uint32)
+    lo = np.zeros((Wp, Np), np.uint32)
+    state = np.zeros((8, Np), np.int32)
+    for p, off in zip(parsed, offs):
+        logical = _logical_words(p.words_be)
+        k = p.n_frames * p.channels
+        hi[: p.max_windows, off : off + k] = (logical >> np.uint64(32)).astype(
+            np.uint32
+        )
+        lo[: p.max_windows, off : off + k] = (
+            logical & np.uint64(0xFFFFFFFF)
+        ).astype(np.uint32)
+        state[:, off : off + k] = p.state
+    return hi, lo, state
+
+
+def _stage_words_be(parsed, offs, W: int, Np: int):
+    """Stage per-file raw BE words/state into dense (words_be, state)."""
+    words_be = np.zeros((W, Np), np.uint64)
+    state = np.zeros((8, Np), np.int32)
+    for p, off in zip(parsed, offs):
+        k = p.n_frames * p.channels
+        words_be[: p.max_windows, off : off + k] = p.words_be
+        state[:, off : off + k] = p.state
+    return words_be, state
+
+
+def _code_planes(words_be: np.ndarray):
+    """Raw BE words -> (sf, codes) int8 planes for the XLA decoder.
+
+    int8 suffices (sf < 16, codes < 8; the kernel widens per window) and
+    keeps the staging cube 4x smaller than the decoded PCM."""
+    logical = _logical_words(words_be)
+    W, Np = words_be.shape
+    sf = (logical >> np.uint64(60)).astype(np.int8)
+    codes = np.zeros((W, fmt.QOA_SLICE_LEN, Np), np.int8)
+    for k in range(fmt.QOA_SLICE_LEN):
+        codes[:, k] = ((logical >> np.uint64(57 - 3 * k)) & np.uint64(7)).astype(
+            np.int8
+        )
+    return sf, codes
+
+
+def _interleave_file(dec_sub, p) -> np.ndarray:
+    """One file's chain-layout decode -> flat interleaved trimmed PCM.
+
+    Uses the native fused interleave+trim when every non-final frame is
+    window-aligned (its single trailing trim is only valid then); any
+    non-aligned uniform geometry trims per frame instead — the same
+    guard decode_all's host path applies (codec.py)."""
+    from .. import native
+
+    F, C = p.n_frames, p.channels
+    W20 = p.max_windows * fmt.QOA_SLICE_LEN
+    spf = p.samples_per_frame
+    total = int(spf.sum())
+    if native.available():
+        if bool(np.all(spf[:-1] == W20)):
+            return native.interleave_trim(dec_sub, F, C, total).reshape(-1)
+        arr = native.interleave_trim(dec_sub, F, C, F * W20).reshape(F, W20, C)
+    else:
+        arr = (
+            dec_sub.reshape(p.max_windows, fmt.QOA_SLICE_LEN, F, C)
+            .transpose(2, 0, 1, 3)
+            .reshape(F, W20, C)
+        )
+    return np.concatenate([arr[i, : spf[i]] for i in range(F)]).reshape(-1)
+
+
 def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
     """Decode many QOA byte streams in ONE batched kernel launch.
 
@@ -227,8 +304,9 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
     frames x channels each — concatenate into one chain axis: the Pallas
     kernel on TPU, the native engine elsewhere; with ``mesh`` the chain
     axis shards over the devices (shard_map around the Pallas kernel on
-    TPU — no cross-device communication).  Falls back to per-file
-    decoding for streams the fast arithmetic parser rejects.
+    TPU — no cross-device communication).  Streams the fast arithmetic
+    parser rejects fall back to per-file decoding; the REST of the corpus
+    still batches.
     """
     from .. import native
     from ..bitstream import parse_file_arrays
@@ -237,7 +315,17 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
         return []
     parsed = [parse_file_arrays(d) for d in streams]
     if any(p is None for p in parsed):
-        return [codec.decode_all(d) for d in streams]
+        # decode the rejected streams per-file; everything else batches
+        good = [(i, d) for i, (d, p) in enumerate(zip(streams, parsed)) if p]
+        outs: List[Optional[DecodedQoa]] = [None] * len(streams)
+        for i, (d, p) in enumerate(zip(streams, parsed)):
+            if p is None:
+                outs[i] = codec.decode_all(d)
+        for (i, _), out in zip(
+            good, batch_decode([d for _, d in good], mesh=mesh)
+        ):
+            outs[i] = out
+        return outs
 
     W = max(p.max_windows for p in parsed)
     offs = []
@@ -256,19 +344,7 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
         tile = subs * LANES * n_dev
         Np = -(-N // tile) * tile
         Wp = -(-W // wblk) * wblk
-        hi = np.zeros((Wp, Np), np.uint32)
-        lo = np.zeros((Wp, Np), np.uint32)
-        state = np.zeros((8, Np), np.int32)
-        for p, off in zip(parsed, offs):
-            logical = p.words_be.copy().view(np.uint64).byteswap()
-            k = p.n_frames * p.channels
-            hi[: p.max_windows, off : off + k] = (
-                logical >> np.uint64(32)
-            ).astype(np.uint32)
-            lo[: p.max_windows, off : off + k] = (
-                logical & np.uint64(0xFFFFFFFF)
-            ).astype(np.uint32)
-            state[:, off : off + k] = p.state
+        hi, lo, state = _stage_word_halves(parsed, offs, Wp, Np)
         from ..utils.transfer import fetch_array
 
         if mesh is not None:
@@ -286,64 +362,28 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
         from .mesh import decode_chains_sharded, round_up
 
         Np = round_up(N, mesh.size)
-        words_be = np.zeros((W, Np), np.uint64)
-        state = np.zeros((8, Np), np.int32)
-        for p, off in zip(parsed, offs):
-            k = p.n_frames * p.channels
-            words_be[: p.max_windows, off : off + k] = p.words_be
-            state[:, off : off + k] = p.state
-        logical = words_be.view(np.uint64).byteswap()
-        sf = (logical >> np.uint64(60)).astype(np.int32)
-        codes = np.zeros((W, fmt.QOA_SLICE_LEN, Np), np.int32)
-        for k in range(fmt.QOA_SLICE_LEN):
-            codes[:, k] = (
-                (logical >> np.uint64(57 - 3 * k)) & np.uint64(7)
-            ).astype(np.int32)
+        words_be, state = _stage_words_be(parsed, offs, W, Np)
+        sf, codes = _code_planes(words_be)
         dec = np.asarray(decode_chains_sharded(mesh, state, sf, codes))
     else:
-        words_be = np.zeros((W, N), np.uint64)
-        state = np.zeros((8, N), np.int32)
-        for p, off in zip(parsed, offs):
-            k = p.n_frames * p.channels
-            words_be[: p.max_windows, off : off + k] = p.words_be
-            state[:, off : off + k] = p.state
+        words_be, state = _stage_words_be(parsed, offs, W, N)
         if native.available():
             dec = native.decode_chains(words_be, state)
         else:
             from ..ops.decode import decode_chains
 
-            logical = words_be.copy().view(np.uint64).byteswap()
-            sf = (logical >> np.uint64(60)).astype(np.int8)
-            codes = np.zeros((W, fmt.QOA_SLICE_LEN, N), np.int8)
-            for k in range(fmt.QOA_SLICE_LEN):
-                codes[:, k] = (
-                    (logical >> np.uint64(57 - 3 * k)) & np.uint64(7)
-                ).astype(np.int8)
+            sf, codes = _code_planes(words_be)
             dec = np.asarray(decode_chains(state.astype(np.int32), sf, codes))
 
-    outs: List[DecodedQoa] = []
+    outs = []
     for p, off in zip(parsed, offs):
         k = p.n_frames * p.channels
         sub = np.ascontiguousarray(dec[: p.max_windows, :, off : off + k])
-        total = int(p.samples_per_frame.sum())
-        if native.available():
-            pcm = native.interleave_trim(sub, p.n_frames, p.channels, total)
-            samples = pcm.reshape(-1)
-        else:
-            W20 = p.max_windows * fmt.QOA_SLICE_LEN
-            arr = (
-                sub.reshape(p.max_windows, fmt.QOA_SLICE_LEN, p.n_frames, p.channels)
-                .transpose(2, 0, 1, 3)
-                .reshape(p.n_frames, W20, p.channels)
-            )
-            samples = np.concatenate(
-                [arr[i, : p.samples_per_frame[i]] for i in range(p.n_frames)]
-            ).reshape(-1)
         outs.append(
             DecodedQoa(
                 num_channels=p.channels,
                 sample_rate=p.sample_rate,
-                samples=samples.astype(np.int16, copy=False),
+                samples=_interleave_file(sub, p).astype(np.int16, copy=False),
             )
         )
     return outs
@@ -500,19 +540,44 @@ def batch_transcode(
 
     if not streams:
         return []
+
+    def _host_pair(d: bytes) -> bytes:
+        out = codec.decode_all(d)
+        return codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+
+    if _jax_platform() is None:
+        return [_host_pair(d) for d in streams]
     parsed = [parse_file_arrays(d) for d in streams]
-    if any(
-        p is None
-        or (p.n_frames > 1 and int(p.samples_per_frame[0]) != fmt.QOA_FRAME_LEN)
-        for p in parsed
-    ) or _jax_platform() is None:
-        return [
-            codec.encode_all(
-                (out := codec.decode_all(d)).samples,
-                QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
-            )
-            for d in streams
+
+    def _eligible(p) -> bool:
+        return p is not None and (
+            p.n_frames == 1
+            or int(p.samples_per_frame[0]) == fmt.QOA_FRAME_LEN
+        )
+
+    if not all(_eligible(p) for p in parsed):
+        # only the rejected streams pay the host decode->encode pair; the
+        # rest of the corpus still runs the device pipeline
+        good = [
+            (i, d) for i, (d, p) in enumerate(zip(streams, parsed)) if _eligible(p)
         ]
+        outs: List[Optional[bytes]] = [None] * len(streams)
+        for i, (d, p) in enumerate(zip(streams, parsed)):
+            if not _eligible(p):
+                outs[i] = _host_pair(d)
+        for (i, _), data in zip(
+            good,
+            batch_transcode(
+                [d for _, d in good], chunk_frames=chunk_frames, mesh=mesh
+            )
+            if good
+            else [],
+        ):
+            outs[i] = data
+        return outs
 
     on_tpu = _jax_platform() == "tpu"
 
@@ -533,19 +598,7 @@ def batch_transcode(
         tile = subs * DL * n_dev
         Ndp = -(-Nd // tile) * tile
         Wp = -(-W // wblk) * wblk
-        hi = np.zeros((Wp, Ndp), np.uint32)
-        lo = np.zeros((Wp, Ndp), np.uint32)
-        dstate = np.zeros((8, Ndp), np.int32)
-        for p, off in zip(parsed, doffs):
-            logical = p.words_be.copy().view(np.uint64).byteswap()
-            k = p.n_frames * p.channels
-            hi[: p.max_windows, off : off + k] = (logical >> np.uint64(32)).astype(
-                np.uint32
-            )
-            lo[: p.max_windows, off : off + k] = (
-                logical & np.uint64(0xFFFFFFFF)
-            ).astype(np.uint32)
-            dstate[:, off : off + k] = p.state
+        hi, lo, dstate = _stage_word_halves(parsed, doffs, Wp, Ndp)
         if mesh is not None:
             from .mesh import decode_chains_pallas_sharded
 
@@ -556,26 +609,17 @@ def batch_transcode(
         from ..ops.decode import decode_chains
 
         Ndp = -(-Nd // n_dev) * n_dev
-        words_be = np.zeros((W, Ndp), np.uint64)
-        dstate = np.zeros((8, Ndp), np.int32)
-        for p, off in zip(parsed, doffs):
-            k = p.n_frames * p.channels
-            words_be[: p.max_windows, off : off + k] = p.words_be
-            dstate[:, off : off + k] = p.state
-        logical = words_be.view(np.uint64).byteswap()
-        sf = (logical >> np.uint64(60)).astype(np.int32)
-        codes = np.zeros((W, fmt.QOA_SLICE_LEN, Ndp), np.int32)
-        for k in range(fmt.QOA_SLICE_LEN):
-            codes[:, k] = ((logical >> np.uint64(57 - 3 * k)) & np.uint64(7)).astype(
-                np.int32
-            )
+        words_be, dstate = _stage_words_be(parsed, doffs, W, Ndp)
+        sf, codes = _code_planes(words_be)
         if mesh is not None:
             from .mesh import decode_chains_sharded
 
             dec = decode_chains_sharded(mesh, dstate, sf, codes)
         else:
             dec = decode_chains(
-                jax.device_put(dstate), jax.device_put(sf), jax.device_put(codes)
+                jax.device_put(dstate.astype(np.int32)),
+                jax.device_put(sf),
+                jax.device_put(codes),
             )  # (W, 20, Ndp)
 
     # ---- on-device re-layout + encode ----
@@ -587,7 +631,7 @@ def batch_transcode(
         eoffs.append(n)
         n += p.channels
     Ne = n
-    kernel, e_mult = _pick_kernel(mesh, Ne)
+    kernel, e_mult = _pick_kernel(mesh)
     Nep = -(-Ne // e_mult) * e_mult
 
     F_max = max(p.n_frames for p in parsed)

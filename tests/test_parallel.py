@@ -381,3 +381,68 @@ def test_batch_transcode_random_corpora_property():
                 QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
             )
             assert g == want, f"trial {trial}"
+
+
+def test_batch_decode_non_window_aligned_uniform_frames():
+    # uniform multi-frame streams whose frame length is not a multiple of
+    # 20 (legal: the decoder reads spc from every header) must decode
+    # bit-exactly — the fused interleave+trim's single trailing trim is
+    # only valid for window-aligned frames (regression: sample 30 onward
+    # was garbage for 2x30-sample frames)
+    import io
+
+    from qoaudio_tpu.parallel.corpus import batch_decode
+    from qoaudio_tpu.streaming import QoaEncoder
+
+    for frame_len, n_frames, ch in [(30, 2, 1), (2570, 3, 2), (45, 4, 1)]:
+        n = frame_len * n_frames
+        pcm = make_noise(n, ch, seed=frame_len)
+        enc = QoaEncoder(QoaDesc(ch, 44100, n))
+        buf = io.BytesIO()
+        enc.write_header(buf)
+        for off in range(0, n, frame_len):
+            enc.encode_frame(pcm[off * ch : (off + frame_len) * ch], buf)
+        data = buf.getvalue()
+        want = codec.decode_all(data).samples
+        (got,) = batch_decode([data])
+        assert np.array_equal(got.samples, want), frame_len
+
+
+def test_batch_corpus_partial_fallback_keeps_batching():
+    # one rejected stream must not force the WHOLE corpus onto the host
+    # path: the eligible files still batch, every output stays exact and
+    # in order
+    import io
+
+    from qoaudio_tpu import format as _fmt
+    from qoaudio_tpu.parallel.corpus import batch_decode, batch_transcode
+    from qoaudio_tpu.streaming import QoaEncoder
+
+    pcm1 = make_noise(5120 + 300, 2, seed=51)
+    good1 = codec.encode_all(pcm1, QoaDesc(2, 44100, 5120 + 300))
+    pcm2 = make_noise(700, 1, seed=52)
+    good2 = codec.encode_all(pcm2, QoaDesc(1, 22050, 700))
+    # a streaming-mode stream defeats the arithmetic parser
+    streaming = _fmt.pack_file_header(0) + good2[8:]
+    # a non-standard uniform multi-frame stream defeats the relayout gate
+    pcm3 = make_noise(2560 * 2, 1, seed=53)
+    enc = QoaEncoder(QoaDesc(1, 44100, 2560 * 2))
+    buf = io.BytesIO()
+    enc.write_header(buf)
+    enc.encode_frame(pcm3[:2560], buf)
+    enc.encode_frame(pcm3[2560:], buf)
+    nonstd = buf.getvalue()
+
+    streams = [good1, streaming, good2, nonstd]
+    outs = batch_decode(streams)
+    for s, o in zip(streams, outs):
+        assert np.array_equal(o.samples, codec.decode_all(s).samples)
+
+    got = batch_transcode(streams)
+    for s, g in zip(streams, got):
+        out = codec.decode_all(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want
