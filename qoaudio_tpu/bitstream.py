@@ -291,14 +291,20 @@ def parse_file_arrays(data: bytes) -> Optional[ParsedArrays]:
     # final short frame, if any
     tail = None
     if tail_bytes:
-        out = parse_frame(data, fmt.QOA_HEADER_SIZE + F_full * frame_bytes)
+        try:
+            out = parse_frame(data, fmt.QOA_HEADER_SIZE + F_full * frame_bytes)
+        except Exception:
+            return None  # corrupt/truncated tail: the general walk reports it
         if out is None:
             return None
         tail, end = out
         if end != n or tail.channels != channels or tail.sample_rate != rate:
             return None
-        if tail.n_windows > W0:
-            return None  # tail longer than the uniform frames: general walk
+        if tail.n_windows > W0 or tail.samples_per_channel > spc0:
+            # a tail LONGER than the uniform frames (in windows OR samples)
+            # breaks the uniform-stride indexing downstream callers assume
+            # (decode_range, seek): general walk
+            return None
 
     F = F_full + (1 if tail is not None else 0)
     C = channels
@@ -397,14 +403,18 @@ def assemble_stream_bytes(
     snaps: (>=F, 8, C) int32 — frame-start LMS (history rows 0-3, weights
     rows 4-7); words: (>=F, >=nw, C) uint64 logical slice words.
     """
+    if samples <= 0:
+        from .errors import InvalidSamples
+
+        raise InvalidSamples()
     C = channels
     T = samples
     F = -(-T // fmt.QOA_FRAME_LEN)
     spf = np.full(F, fmt.QOA_FRAME_LEN, np.int64)
     spf[-1] = T - (F - 1) * fmt.QOA_FRAME_LEN
     nw = -(-spf // fmt.QOA_SLICE_LEN)
-    Wf = int(nw.max()) if F else 0
-    fsize = fmt.QOA_HEADER_SIZE + 4 * fmt.QOA_LMS_LEN * C + 8 * nw * C
+    Wf = int(nw.max())
+    fsize = fmt.qoa_frame_size(C, nw)  # elementwise over the frame axis
     headers = (
         (np.uint64(C) << np.uint64(56))
         | (np.uint64(sample_rate) << np.uint64(32))
@@ -475,8 +485,8 @@ def batch_chain_arrays(batch: "FrameBatch"):
         batch.sf.astype(np.uint64), batch.codes.astype(np.uint64)
     )  # (F, W, C)
     words_be = (
-        np.ascontiguousarray(logical.transpose(1, 0, 2))
-        .astype(">u8")
+        logical.transpose(1, 0, 2)
+        .astype(">u8", order="C")  # one copy: relayout + byteswap together
         .view(np.uint64)
         .reshape(W, F * C)
     )

@@ -174,3 +174,68 @@ def test_parse_file_arrays_rejects_streaming_mode():
     pcm = np.zeros(100, np.int16)
     data = codec.encode_all(pcm, QoaDesc(1, 44100, 100))
     assert bs.parse_file_arrays(fmt.pack_file_header(0) + data[8:]) is None
+
+
+def test_parse_file_arrays_rejects_oversized_tail():
+    # a final frame carrying MORE samples than the uniform interior frames
+    # (legal QOA) breaks the uniform-stride indexing decode_range/seek
+    # assume; the fast parser must hand such streams to the general walk
+    import io
+
+    import numpy as np
+
+    from qoaudio_tpu import bitstream as bs
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.streaming import QoaEncoder
+    from qoaudio_tpu.types import QoaDesc
+
+    rng = np.random.default_rng(61)
+    lens = [90, 90, 90, 100]
+    n = sum(lens)
+    pcm = rng.integers(-28000, 28000, n).astype(np.int16)
+    enc = QoaEncoder(QoaDesc(1, 44100, n))
+    buf = io.BytesIO()
+    enc.write_header(buf)
+    off = 0
+    for ln in lens:
+        enc.encode_frame(pcm[off : off + ln], buf)
+        off += ln
+    data = buf.getvalue()
+
+    assert bs.parse_file_arrays(data) is None
+    want = codec.decode_all(data).samples  # general walk handles it
+    assert len(want) == n
+    # decode_range falls back to the full decode and stays exact
+    out = codec.decode_range(data, n - 10, n)
+    assert np.array_equal(out.samples, want[n - 10 :])
+
+
+def test_parse_file_arrays_corrupt_tail_returns_none():
+    # docstring contract: corrupt streams return None (callers fall back
+    # and the general walk raises the typed error with exact truncation
+    # semantics); a cut inside the final frame's LMS must not raise here
+    import numpy as np
+
+    from qoaudio_tpu import bitstream as bs
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.types import QoaDesc
+
+    rng = np.random.default_rng(62)
+    n = 5120 + 300
+    pcm = rng.integers(-28000, 28000, n).astype(np.int16)
+    data = codec.encode_all(pcm, QoaDesc(1, 44100, n))
+    cut = data[: len(data) - 40]  # inside the final frame
+    assert bs.parse_file_arrays(cut) is None
+
+
+def test_assemble_stream_bytes_zero_samples_typed_error():
+    import numpy as np
+    import pytest
+
+    from qoaudio_tpu import bitstream as bs
+    from qoaudio_tpu.errors import InvalidSamples
+
+    with pytest.raises(InvalidSamples):
+        bs.assemble_stream_bytes(
+            1, 44100, 0, np.zeros((1, 8, 1), np.int32), np.zeros((1, 1, 1), np.uint64)
+        )
