@@ -80,6 +80,8 @@ def decode_all(data: bytes, backend: str = "auto") -> DecodedQoa:
     change mid-stream (reference: src/lib.rs:735-739), NoSamples on an
     empty stream.
     """
+    if backend not in ("auto", "native", "numpy", "jax"):
+        raise ValueError(f"unknown backend {backend!r}")
     if backend in ("auto", "native"):
         from . import native
 
@@ -106,8 +108,6 @@ def decode_all(data: bytes, backend: str = "auto") -> DecodedQoa:
             pad_chains_to=max(8, _next_pow2(batch.n_frames * batch.channels)),
             pad_windows_to=_next_pow2(batch.max_windows),
         )
-    else:
-        raise ValueError(f"unknown backend {backend!r}")
 
     # trim each frame to its true sample count and concatenate
     spf = batch.samples_per_frame
@@ -126,7 +126,7 @@ def decode_all(data: bytes, backend: str = "auto") -> DecodedQoa:
     return DecodedQoa(
         num_channels=batch.channels,
         sample_rate=batch.sample_rate,
-        samples=samples.astype(np.int16),
+        samples=samples.astype(np.int16, copy=False),
     )
 
 
@@ -145,7 +145,7 @@ def _decode_all_native(data: bytes) -> DecodedQoa:
         if not parsed.frames:
             raise NoSamples()
         batch = bs.stack_frames(parsed.frames)
-        F, W, C = batch.sf.shape
+        F, C = batch.n_frames, batch.channels
         words_be, state = bs.batch_chain_arrays(batch)
         dec = native.decode_chains(words_be, state)
         spf = batch.samples_per_frame
@@ -157,8 +157,6 @@ def _decode_all_native(data: bytes) -> DecodedQoa:
         spf = pa.samples_per_frame
         rate = pa.sample_rate
 
-    if F == 0:
-        raise NoSamples()
     W20 = dec.shape[0] * fmt.QOA_SLICE_LEN
     if bool(np.all(spf[:-1] == W20)):
         # uniform-except-last: transpose + trim fused in native code
@@ -209,6 +207,8 @@ def decode_range(
     from . import native
 
     if not native.available():
+        if backend == "native":
+            raise RuntimeError("native engine unavailable")
         return decode_range(data, start, end, backend="jax")
 
     C = pa.channels
@@ -293,11 +293,16 @@ def _encode_all_native(sample_data, desc: QoaDesc) -> bytes:
     return bs.assemble_stream_bytes(C, R, T, snaps, words.reshape(F, WPF, C))
 
 def _validate_desc(desc: QoaDesc) -> None:
-    if desc.channels == 0 or desc.channels > fmt.QOA_MAX_CHANNELS:
+    """Mirror QoaEncoder::new's validation (src/lib.rs:336-344).  The
+    reference's u8/u32 field types make negative or >u32 values
+    unrepresentable, so those reject with the same typed errors here
+    (otherwise the backends diverge: raw OverflowError vs corrupt
+    streams)."""
+    if not 1 <= desc.channels <= fmt.QOA_MAX_CHANNELS:
         raise InvalidChannels()
-    if desc.sample_rate == 0:
+    if not 1 <= desc.sample_rate <= 0xFFFFFFFF:
         raise InvalidSampleRate()
-    if desc.samples == 0:
+    if not 1 <= desc.samples <= 0xFFFFFFFF:
         raise InvalidSamples()
 
 
@@ -306,7 +311,7 @@ def layout_pcm(
 ):
     """Interleaved PCM -> kernel layout.
 
-    Returns (samples (F, 256, 20, C) int32, lens (F, 256) int32, F).
+    Returns (samples (F, 256, 20, C) int16, lens (F, 256) int32, F).
     """
     T = samples
     C = channels
@@ -383,25 +388,16 @@ def encode_all(sample_data, desc: QoaDesc, backend: str = "auto") -> bytes:
         # slice device-side to the real channels before any transfer
         staged.append((f0, fc, snaps[:, :, :C], hi[:, :, :C], lo[:, :, :C]))
 
-    # Phase 2 — fetch results and pack frame bytes on the host.
-    out = [fmt.pack_file_header(T)]
-    for f0, fc, snaps, hi, lo in staged:
-        snaps = np.asarray(snaps)
-        words = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
-            lo
-        ).astype(np.uint64)
-        for i in range(fc):
-            f = f0 + i
-            spc = min(fmt.QOA_FRAME_LEN, T - f * fmt.QOA_FRAME_LEN)
-            n_windows = -(-spc // fmt.QOA_SLICE_LEN)
-            out.append(
-                bs.build_frame_bytes(
-                    C,
-                    desc.sample_rate,
-                    spc,
-                    snaps[i, 0:4].T,  # (C, 4) history
-                    snaps[i, 4:8].T,  # (C, 4) weights
-                    words[i, :n_windows],
-                )
-            )
-    return b"".join(out)
+    # Phase 2 — fetch results and assemble the stream in one vectorized
+    # blob dump (the former per-frame build_frame_bytes loop dominated
+    # multi-frame epilogues; byte-identity with the native path is pinned
+    # by the cross-backend equality tests).
+    snaps_all = np.concatenate([np.asarray(s)[:fc] for _, fc, s, _, _ in staged])
+    words_all = np.concatenate(
+        [
+            (np.asarray(h)[:fc].astype(np.uint64) << np.uint64(32))
+            | np.asarray(l)[:fc].astype(np.uint64)
+            for _, fc, _, h, l in staged
+        ]
+    )  # (F, 256, C) logical slice words
+    return bs.assemble_stream_bytes(C, desc.sample_rate, T, snaps_all, words_all)

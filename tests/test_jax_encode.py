@@ -110,3 +110,42 @@ def test_fixture_prefix_encode_exact(fixture_bytes):
     n = 3 * 5120
     prefix = out.samples[: n * 2]
     _check_bytes_equal(prefix, 2, 44100, n)
+
+
+def test_validate_desc_rejects_unrepresentable_values():
+    # the reference's u8/u32 field types make negative or >u32 values
+    # unrepresentable (src/lib.rs:336-344); they must reject with the
+    # same typed errors on every backend, not OverflowError/corrupt bytes
+    import pytest
+
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.errors import (
+        InvalidChannels,
+        InvalidSampleRate,
+        InvalidSamples,
+    )
+    from qoaudio_tpu.types import QoaDesc
+
+    pcm = np.zeros(40, np.int16)
+    for desc, err in [
+        (QoaDesc(-2, 44100, -20), InvalidChannels),
+        (QoaDesc(0, 44100, 20), InvalidChannels),
+        (QoaDesc(9, 44100, 20), InvalidChannels),
+        (QoaDesc(2, -44100, 20), InvalidSampleRate),
+        (QoaDesc(2, 0, 20), InvalidSampleRate),
+        (QoaDesc(2, 1 << 32, 20), InvalidSampleRate),
+        (QoaDesc(2, 44100, 0), InvalidSamples),
+        (QoaDesc(2, 44100, -20), InvalidSamples),
+    ]:
+        for backend in ("jax", "numpy", "auto"):
+            with pytest.raises(err):
+                codec.encode_all(pcm, desc, backend=backend)
+
+
+def test_decode_all_unknown_backend_fails_fast():
+    import pytest
+
+    from qoaudio_tpu import codec
+
+    with pytest.raises(ValueError, match="unknown backend"):
+        codec.decode_all(b"not even parsed", backend="cpu")
