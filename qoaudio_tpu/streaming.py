@@ -70,6 +70,11 @@ class _GrowableBuffer:
         self._pos = 0
 
     def append(self, data: bytes) -> None:
+        if self._pos:
+            # compact: consumed bytes would otherwise accumulate forever
+            # on long-lived network streams
+            del self._buf[: self._pos]
+            self._pos = 0
         self._buf.extend(data)
 
     def read(self, n: int) -> bytes:
@@ -110,10 +115,17 @@ class QoaDecoder:
         synchronous unless explicitly requested."""
         in_memory = isinstance(source, (bytes, bytearray, memoryview))
         self._reader = _as_reader(source)
-        if backend == "auto":
+        if backend not in ("auto", "native", "numpy", "jax"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend in ("auto", "native"):
             from . import native
 
-            backend = "native" if native.available() else "numpy"
+            if native.available():
+                backend = "native"
+            elif backend == "native":
+                raise RuntimeError("native engine unavailable")
+            else:
+                backend = "numpy"
         self._backend = backend
         self._readahead = max(1, readahead)
         self._dead = False
@@ -179,8 +191,13 @@ class QoaDecoder:
     def open(cls, path, backend: str = "auto", readahead: int = 32,
              prefetch: Optional[bool] = None) -> "QoaDecoder":
         """Open a file path (reference: src/lib.rs:619-625)."""
-        return cls(open(path, "rb"), backend=backend, readahead=readahead,
-                   prefetch=prefetch)
+        f = open(path, "rb")
+        try:
+            return cls(f, backend=backend, readahead=readahead,
+                       prefetch=prefetch)
+        except BaseException:
+            f.close()
+            raise
 
     @classmethod
     def new_streaming(cls, backend: str = "auto", readahead: int = 32) -> "QoaDecoder":
@@ -233,10 +250,16 @@ class QoaDecoder:
             raise IoError("seek requires a fixed-mode stream")
         if not hasattr(self._reader, "seek"):
             raise IoError("seek requires a seekable source")
+        if self._first_frame_samples <= 0:
+            raise IoError("seek requires a nonempty first frame")
         n_frames = -(-self._mode.samples // self._first_frame_samples)
         if not 0 <= index < n_frames:
             raise IoError(f"frame index {index} out of range 0..{n_frames - 1}")
-        self._drain_prefetch()  # the worker shares the reader cursor
+        # the worker shares the reader cursor: settle it first, KEEPING the
+        # prefetched batch — on a failed seek those frames are re-queued so
+        # the decoder really is untouched (they are the frames that follow
+        # the current queue; discarding them would silently skip audio)
+        batch = self._take_prefetch()
         off = fmt.QOA_HEADER_SIZE + index * self._first_frame_size
         # uniform-stride geometry predicts this frame's header exactly
         # (interior frames full-length, the final frame the remainder)
@@ -262,6 +285,11 @@ class QoaDecoder:
         self._reader.seek(off)
         hdr = self._reader.read(8)
         if len(hdr) < 8 or int.from_bytes(hdr, "big") != exp:
+            if batch is not None:
+                items, b_err = batch
+                self._queue.extend(items)
+                if b_err is not None and self._pending_error is None:
+                    self._pending_error = b_err
             if pos0 is not None:
                 self._reader.seek(pos0)
             raise IoError(
@@ -313,7 +341,7 @@ class QoaDecoder:
             if (
                 channels != self._mode.channels
                 or sample_rate != self._mode.sample_rate
-            ) and self._mode.channels != 0:
+            ):
                 from .errors import IncompatibleFrame
 
                 raise IncompatibleFrame()
@@ -508,6 +536,12 @@ class QoaDecoder:
         fs = self._first_frame_size
         spc = self._first_frame_samples
         C = self._mode.channels
+        if fs != fmt.qoa_frame_size(C, -(-spc // fmt.QOA_SLICE_LEN)):
+            # frame_size is advisory to the reference reader (it consumes
+            # ceil(spc/20) slices regardless, src/lib.rs:291-330); a
+            # declared size that disagrees breaks the slab stride — use
+            # the spc-driven frame-at-a-time reader
+            return None
         exp = fmt.pack_frame_header(C, self._mode.sample_rate, spc, fs)
         want = self._readahead * fs
         data = self._tail
@@ -558,14 +592,19 @@ class QoaDecoder:
         items = [(hdr, full[i, :spc].reshape(-1), True) for i in range(m)]
         return items, None
 
+    def _take_prefetch(self):
+        """Wait out any in-flight prefetch; return its (items, err) or None."""
+        if self._prefetch_future is None:
+            return None
+        fut, self._prefetch_future = self._prefetch_future, None
+        try:
+            return fut.result()
+        except Exception as e:
+            return [], e
+
     def _drain_prefetch(self) -> None:
-        """Wait out any in-flight prefetch and discard it (seek/handoff)."""
-        if self._prefetch_future is not None:
-            try:
-                self._prefetch_future.result()
-            except Exception:
-                pass
-            self._prefetch_future = None
+        """Wait out any in-flight prefetch and discard it (handoff)."""
+        self._take_prefetch()
 
     def _fill_queue(self) -> None:
         if self._queue or self._dead:
@@ -635,11 +674,18 @@ class QoaDecoder:
             self._executor = None
 
     def _raise_or_stop(self):
-        self._dead = True
-        self._shutdown_executor()  # stream ended: release the worker thread
         if self._pending_error is not None:
+            self._dead = True
+            self._shutdown_executor()
             err, self._pending_error = self._pending_error, None
             raise err
+        if isinstance(self._reader, _GrowableBuffer):
+            # a dry streaming buffer is NOT end-of-stream: the reference
+            # decoder resumes iteration once decode_frame feeds more bytes
+            # (src/lib.rs:641-651 drains the iterator repeatedly)
+            raise StopIteration
+        self._dead = True
+        self._shutdown_executor()  # stream ended: release the worker thread
         raise StopIteration
 
     def __del__(self):

@@ -521,3 +521,125 @@ def test_seek_to_frame_non_uniform_stream_raises():
             np.asarray(block).reshape(-1, channels),
             want2[lo : lo + hdr.num_samples_per_channel],
         ), f"frame {k}"
+
+
+def test_streaming_decoder_survives_dry_iteration():
+    # pulling from a dry streaming decoder must NOT brick it: the
+    # reference resumes iteration once decode_frame feeds more bytes
+    # (src/lib.rs:641-651 drains the iterator repeatedly)
+    qoa = QoaDecoder.new_streaming()
+    first = next(qoa)
+    assert first == FrameHeader(0, 0, 0)
+    with pytest.raises(StopIteration):
+        next(qoa)  # dry, but not end-of-stream
+    assert qoa.decode_pending().size == 0
+
+    pcm = make_noise(300, 2, seed=71)
+    d = codec.encode_all(pcm, QoaDesc(2, 44100, 300))
+    got = qoa.decode_frame(d[8:])
+    assert np.array_equal(got, codec.decode_all(d).samples)
+
+
+def test_failed_seek_with_prefetch_loses_no_frames(tmp_path):
+    # a failed seek must re-queue the in-flight prefetched batch: the
+    # stream continues with every frame exactly once
+    frame_len = 512
+    n_frames = 24
+    channels = 1
+    n = frame_len * n_frames
+    pcm = make_noise(n, channels, seed=72)
+    data = _encode_uniform_frames(pcm, channels, 44100, frame_len)
+    p = tmp_path / "u.qoa"
+    p.write_bytes(data)
+
+    want = codec.decode_all(data).samples
+    dec = QoaDecoder.open(p, readahead=4, prefetch=True)
+    assert dec._prefetch_enabled
+    got = [np.asarray(dec.next_frame()[1])]  # ensures a prefetch is launched
+    from qoaudio_tpu.errors import IoError as QIoError
+
+    with pytest.raises(QIoError):
+        dec.seek_to_frame(n_frames + 50) if False else None
+        # an out-of-range index raises before touching anything; use a
+        # mismatching stride instead: temporarily lie about the geometry
+        dec._first_frame_size += 8
+        try:
+            dec.seek_to_frame(5)
+        finally:
+            dec._first_frame_size -= 8
+    while True:
+        nxt = dec.next_frame()
+        if nxt is None:
+            break
+        got.append(np.asarray(nxt[1]))
+    assert np.array_equal(np.concatenate(got), want)
+
+
+def test_lying_frame_size_field_decodes_exactly():
+    # the reference reader consumes ceil(spc/20) slices and never uses the
+    # declared frame_size (src/lib.rs:291-330); a stream whose headers lie
+    # about frame_size must still decode bit-exactly (the slab fast path
+    # detects the inconsistency and falls back)
+    channels = 2
+    frame_len = 400
+    n_frames = 12
+    n = frame_len * n_frames
+    pcm = make_noise(n, channels, seed=73)
+    data = bytearray(_encode_uniform_frames(pcm, channels, 44100, frame_len))
+    want = codec.decode_all(bytes(data)).samples
+
+    true_fs = fmt.qoa_frame_size(channels, frame_len // 20)
+    off = fmt.QOA_HEADER_SIZE
+    while off + 8 <= len(data):
+        hdr = int.from_bytes(data[off : off + 8], "big")
+        assert hdr & 0xFFFF == true_fs
+        # plausible but wrong: one extra slice per channel keeps the
+        # header valid per the reference's checks (num_slices must be a
+        # channel multiple, src/lib.rs:239-241) while lying about size
+        lying = (hdr & ~0xFFFF) | (true_fs + 8 * channels)
+        data[off : off + 8] = lying.to_bytes(8, "big")
+        off += true_fs  # the REAL layout stride
+    patched = bytes(data)
+
+    for backend in ("native", "numpy"):
+        try:
+            dec = QoaDecoder(patched, backend=backend, readahead=4)
+        except RuntimeError:
+            continue  # native engine unavailable on this host
+        assert np.array_equal(dec.decode_pending(), want), backend
+
+
+def test_growable_buffer_compacts():
+    qoa = QoaDecoder.new_streaming()
+    pcm = make_noise(5120, 2, seed=74)
+    d = codec.encode_all(pcm, QoaDesc(2, 44100, 5120))
+    for _ in range(50):
+        out = qoa.decode_frame(d[8:])
+        assert out.size == 5120 * 2
+    # consumed bytes are compacted away: the buffer holds at most ~one
+    # frame's worth of unconsumed bytes, not 50 frames of history
+    assert len(qoa._reader._buf) < 3 * len(d)
+
+
+def test_seek_zero_sample_first_frame_typed_error():
+    # malformed but parseable: fixed-mode header claims samples, the first
+    # frame declares spc == 0 — seek must raise the typed IoError, never
+    # ZeroDivisionError
+    from qoaudio_tpu.errors import IoError as QIoError
+
+    hdr = fmt.pack_file_header(100)
+    # spc=0 with a size declaring one slice passes the header checks
+    # (they validate frame_size only; reads are spc-driven)
+    frame = fmt.pack_frame_header(1, 44100, 0, fmt.qoa_frame_size(1, 1))
+    lms = b"\x00" * 16
+    data = hdr + frame.to_bytes(8, "big") + lms
+    dec = QoaDecoder(data)
+    with pytest.raises(QIoError):
+        dec.seek_to_frame(0)
+
+
+def test_decoder_backend_validation():
+    pcm = make_noise(100, 1, seed=75)
+    d = codec.encode_all(pcm, QoaDesc(1, 44100, 100))
+    with pytest.raises(ValueError, match="unknown backend"):
+        QoaDecoder(d, backend="natve")
