@@ -77,15 +77,21 @@ def _play_audio_sink(src, first_block) -> int:
     device as frames decode, so playback starts before the file finishes
     decoding.
     """
-    import sounddevice as sd  # gated by the caller
+    import sounddevice as sd  # availability probed by the caller
 
-    with sd.OutputStream(
-        samplerate=src.sample_rate, channels=src.channels, dtype="int16"
-    ) as stream:
-        block = first_block
-        while len(block):
-            stream.write(np.ascontiguousarray(block.reshape(-1, src.channels)))
-            block = src.read(8192 * src.channels)
+    block = first_block
+    while len(block):
+        # one OutputStream per format segment: src.read stops at format
+        # changes, so each block is single-format and reshape is exact
+        ch, rate = src.channels, src.sample_rate
+        with sd.OutputStream(
+            samplerate=rate, channels=ch, dtype="int16"
+        ) as stream:
+            while len(block):
+                stream.write(np.ascontiguousarray(block.reshape(-1, ch)))
+                block = src.read(8192 * ch)
+                if (src.channels, src.sample_rate) != (ch, rate):
+                    break  # reopen the device for the new format
     return 0
 
 
@@ -102,32 +108,62 @@ def _cmd_play(args) -> int:
     from .streaming import QoaDecoder
 
     src = QoaPcmSource(QoaDecoder.open(args.input, backend=args.backend))
-    # channel-aligned block so the audio sink's (n, channels) reshape holds
-    # for every channel count; also touches the first frame so metadata
-    # (channels/rate) is available
-    first = src.read(8192 * max(1, src.channels))
+    # touch the first frame so metadata (channels/rate) is known, THEN top
+    # up to a channel-aligned block so the audio sink's (n, channels)
+    # reshape holds for every channel count — streaming-mode files report
+    # channels 0 until the first frame is pulled
+    first = src.read(1)
+    if len(first):
+        ch = max(1, src.channels)
+        first = np.concatenate([first, src.read(8192 * ch - 1)])
 
     sink = args.sink
     if sink == "audio":
+        # probe availability only (module import + device settings); a
+        # failure MID-PLAYBACK must propagate — blocks already played are
+        # gone, so silently "falling back" would write a corrupted WAV
         try:
-            import sounddevice  # noqa: F401
+            import sounddevice as sd
 
-            return _play_audio_sink(src, first)
-        except Exception as e:  # no module or no device
+            sd.check_output_settings(
+                samplerate=max(1, src.sample_rate),
+                channels=max(1, src.channels),
+                dtype="int16",
+            )
+        except Exception as e:  # no module or no usable device
             print(f"audio sink unavailable ({e}); falling back to WAV",
                   file=sys.stderr)
             sink = "wav"
+        else:
+            return _play_audio_sink(src, first)
     samples = np.concatenate([first, src.read()])
     if sink == "raw":
+        # raw PCM is untyped: stream every segment regardless of format
         sys.stdout.buffer.write(samples.astype("<i2").tobytes())
+        while True:
+            more = src.read()
+            if not more.size:
+                break
+            sys.stdout.buffer.write(more.astype("<i2").tobytes())
         return 0
+    if samples.size == 0 or src.channels == 0 or src.sample_rate == 0:
+        print(f"{args.input}: no playable frames; nothing written")
+        return 0
+    ch0, rate0 = src.channels, src.sample_rate
     out = args.output or (os.path.splitext(args.input)[0] + ".play.wav")
     from .utils.wav import write_wav
 
-    write_wav(out, samples, src.channels, src.sample_rate)
+    if src.read(1).size:
+        # read() stops at format changes; a WAV holds exactly one format
+        print(
+            f"{args.input}: mid-stream format change — writing only the "
+            "first segment (use --sink raw for the whole stream)",
+            file=sys.stderr,
+        )
+    write_wav(out, samples, ch0, rate0)
     dur = src.total_duration()
     print(
-        f"rendered {args.input} ({src.channels} ch, {src.sample_rate} Hz"
+        f"rendered {args.input} ({ch0} ch, {rate0} Hz"
         + (f", {dur:.1f} s" if dur else "")
         + f") -> {out}"
     )
@@ -135,9 +171,17 @@ def _cmd_play(args) -> int:
 
 
 def _cmd_info(args) -> int:
-    """Print stream metadata without decoding any samples."""
+    """Print stream metadata without decoding any samples.
+
+    A pure header walk: reads each 8-byte frame header and skips the
+    spc-derived body (the reference reader's stride, src/lib.rs:291-330)
+    — no slice-word staging, O(frames) work and O(1) memory.  Damaged
+    files report everything parsed up to the corruption instead of a
+    traceback (that is exactly when one runs ``info``).
+    """
     from . import bitstream as bs
     from . import format as fmt
+    from .errors import QoaError
 
     with open(args.input, "rb") as f:
         data = f.read()
@@ -146,16 +190,28 @@ def _cmd_info(args) -> int:
     frames = 0
     channels = rates = None
     samples = 0
-    pa = bs.parse_file_arrays(data)
-    if pa is not None:
-        frames = pa.n_frames
-        channels, rates = pa.channels, pa.sample_rate
-        samples = int(pa.samples_per_frame.sum())
-    else:
-        for rec in bs.iter_frames(data):
-            frames += 1
-            channels, rates = rec.channels, rec.sample_rate
-            samples += rec.samples_per_channel
+    damage = None
+    off = fmt.QOA_HEADER_SIZE
+    n = len(data)
+    while off + 8 <= n:
+        word = int.from_bytes(data[off : off + 8], "big")
+        ch, rate, spc, fsize = fmt.unpack_frame_header(word)
+        try:
+            bs._validate_frame_header(ch, rate, fsize)
+        except QoaError as e:
+            damage = f"invalid frame header at byte {off} ({e.__class__.__name__})"
+            break
+        nw = -(-spc // fmt.QOA_SLICE_LEN)
+        body = fmt.QOA_LMS_STATE_BYTES * ch + 8 * nw * ch
+        if off + 8 + body > n:
+            damage = f"truncated frame at byte {off}"
+            break
+        frames += 1
+        channels, rates = ch, rate
+        samples += spc
+        off += 8 + body
+    if 0 < n - off < 8 and damage is None:
+        damage = f"trailing {n - off} bytes after the last frame"
     print(f"{args.input}: {mode} mode, {frames} frames")
     if frames == 0 or not rates or not samples:
         # degenerate but parseable (e.g. header-only stream): counts only
@@ -169,10 +225,47 @@ def _cmd_info(args) -> int:
     )
     if total and total != samples:
         print(f"  note: header declares {total} samples/ch")
+    if damage:
+        print(f"  note: {damage}")
     return 0
 
 
 def _cmd_transcode(args) -> int:
+    if args.backend != "auto" and not args.hbm:
+        # an explicit backend pins every stage to that engine (e.g. a
+        # numpy-oracle verification run), file by file
+        from . import codec
+        from .types import QoaDesc
+
+        t0 = time.perf_counter()
+        total = 0
+        for p in args.inputs:
+            with open(p, "rb") as f:
+                data = f.read()
+            out = codec.decode_all(data, backend=args.backend)
+            enc = codec.encode_all(
+                out.samples,
+                QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+                backend=args.backend,
+            )
+            total += len(out.samples)
+            if args.out_dir:
+                os.makedirs(args.out_dir, exist_ok=True)
+                name = os.path.splitext(os.path.basename(p))[0] + ".qoa"
+                with open(os.path.join(args.out_dir, name), "wb") as f:
+                    f.write(enc)
+        dt = time.perf_counter() - t0
+        print(
+            f"transcoded {len(args.inputs)} files on backend="
+            f"{args.backend}: {total} samples in {dt*1e3:.0f} ms "
+            f"({total/dt/1e6:.1f} Msamples/s)"
+        )
+        return 0
+    if args.hbm and args.backend != "auto":
+        print(
+            "--hbm selects the device pipeline; --backend is ignored",
+            file=sys.stderr,
+        )
     if args.hbm:
         # HBM-resident pipeline: decode -> on-device relayout -> encode;
         # PCM never reaches the host, so there is nothing to verify against

@@ -108,20 +108,42 @@ def _load() -> Optional[ctypes.CDLL]:
         p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         p_u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
         p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.qoa_gather_frames.argtypes = [
-            p_u8, i64, i64, i64, i64, i64, i64, i64, p_u64, p_i32,
-        ]
-        lib.qoa_gather_frames.restype = None
-        lib.qoa_decode_chains.argtypes = [p_u64, p_i32, i64, i64, p_i16]
-        lib.qoa_decode_chains.restype = None
-        lib.qoa_interleave.argtypes = [p_i16, i64, i64, i64, i64, p_i16]
-        lib.qoa_interleave.restype = None
-        lib.qoa_encode_windows.argtypes = [p_i16, p_i32, i64, i64, p_i32, p_u64]
-        lib.qoa_encode_windows.restype = None
-        lib.qoa_encode_file.argtypes = [
-            p_i16, p_i32, i64, i64, i64, p_i32, p_u64, p_i32,
-        ]
-        lib.qoa_encode_file.restype = None
+
+        def _bind(lib):
+            lib.qoa_gather_frames.argtypes = [
+                p_u8, i64, i64, i64, i64, i64, i64, i64, p_u64, p_i32,
+            ]
+            lib.qoa_gather_frames.restype = None
+            lib.qoa_decode_chains.argtypes = [p_u64, p_i32, i64, i64, p_i16]
+            lib.qoa_decode_chains.restype = None
+            lib.qoa_interleave.argtypes = [p_i16, i64, i64, i64, i64, p_i16]
+            lib.qoa_interleave.restype = None
+            lib.qoa_encode_windows.argtypes = [
+                p_i16, p_i32, i64, i64, p_i32, p_u64,
+            ]
+            lib.qoa_encode_windows.restype = None
+            lib.qoa_encode_file.argtypes = [
+                p_i16, p_i32, i64, i64, i64, p_i32, p_u64, p_i32,
+            ]
+            lib.qoa_encode_file.restype = None
+
+        try:
+            _bind(lib)
+        except AttributeError:
+            # a stale .so from an older package version (reinstalls can
+            # leave one behind with a NEWER mtime than the fresh source):
+            # force one rebuild, then degrade gracefully — available()
+            # promises False rather than raising
+            path = _build(force=True)
+            try:
+                lib = ctypes.CDLL(path) if path else None
+                if lib is not None:
+                    _bind(lib)
+            except (OSError, AttributeError):
+                lib = None
+            if lib is None:
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
 

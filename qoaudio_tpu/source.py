@@ -10,7 +10,10 @@ changes (streaming mode) are visible to the audio sink at the right moment
 ``QoaPcmSource`` provides the same contract for Python audio sinks
 (sounddevice/pyaudio/wave writers): iterate i16 samples, query
 ``channels`` / ``sample_rate`` / ``current_frame_len`` / ``total_duration``
-at any point.  Errors end iteration, like the reference.
+at any point.  Errors end iteration, like the reference (a failed
+frame-boundary prefetch drops the already-decoded sample, exactly as the
+reference's ``?`` at src/lib.rs:951 returns None).  Bulk ``read`` stops at
+format changes so every returned block is single-format.
 """
 
 from __future__ import annotations
@@ -45,12 +48,17 @@ class QoaPcmSource:
 
     def current_frame_len(self) -> Optional[int]:
         """Interleaved samples remaining in the current frame (streaming
-        mode only; None in fixed mode — src/lib.rs:966-975)."""
+        mode only; None in fixed mode — src/lib.rs:966-975).  After a
+        frame-boundary prefetch this is the PREFETCHED frame's full count,
+        because channels/sample_rate already describe that frame."""
         if not isinstance(self._decoder.mode(), Streaming):
             return None
-        if self._buffer is None:
-            return 0
-        return max(len(self._buffer) - self._idx, 0)
+        remaining = (
+            0 if self._buffer is None else max(len(self._buffer) - self._idx, 0)
+        )
+        if remaining == 0 and self._next_frame is not None:
+            return len(self._next_frame[1])
+        return remaining
 
     def total_duration(self) -> Optional[float]:
         return self._decoder.total_duration()
@@ -84,29 +92,50 @@ class QoaPcmSource:
             if not self._pull_frame():
                 self._finished = True
                 raise StopIteration
-        s = int(self._buffer[self._idx])
-        self._idx += 1
-        if self._idx >= len(self._buffer):
-            # frame exhausted: prefetch the next header now so channels /
-            # sample_rate describe the next sample (src/lib.rs:941-954)
+        if self._idx == len(self._buffer) - 1:
+            # last sample of the frame: prefetch the next header FIRST so
+            # channels/sample_rate describe the next sample — and so a
+            # prefetch error drops this sample and ends iteration, exactly
+            # like the reference's `?` (src/lib.rs:941-954)
             try:
                 self._next_frame = self._decoder.next_frame()
             except Exception:
                 self._next_frame = None
+                self._finished = True
+                raise StopIteration
+        s = int(self._buffer[self._idx])
+        self._idx += 1
         return s
 
     # -- bulk --------------------------------------------------------------
 
     def read(self, n: Optional[int] = None) -> np.ndarray:
-        """Read up to n interleaved samples (all remaining if None)."""
+        """Read up to n interleaved samples (all remaining if None).
+
+        Stops early at a mid-stream format change (streaming mode), so a
+        returned block is always single-format: ``channels`` /
+        ``sample_rate`` describe it exactly, and the next ``read`` starts
+        the new format.
+        """
         chunks = []
         got = 0
+        fmt0 = None
         while n is None or got < n:
             if self._buffer is None or self._idx >= len(self._buffer):
                 self._buffer = None
                 if not self._pull_frame():
                     self._finished = True
                     break
+                hdr = self._decoder.current_frame_header()
+                if fmt0 is None:
+                    fmt0 = (hdr.num_channels, hdr.sample_rate)
+                elif (hdr.num_channels, hdr.sample_rate) != fmt0:
+                    # format change: leave the staged frame for the next
+                    # read; metadata already describes it
+                    break
+            elif fmt0 is None:
+                hdr = self._decoder.current_frame_header()
+                fmt0 = (hdr.num_channels, hdr.sample_rate)
             take = len(self._buffer) - self._idx
             if n is not None:
                 take = min(take, n - got)

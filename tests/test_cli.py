@@ -104,3 +104,49 @@ def test_cli_transcode_hbm(tmp_path, fixture_bytes):
         dec.samples, QoaDesc(dec.num_channels, dec.sample_rate, dec.samples_per_channel)
     )
     assert got == want
+
+
+def test_cli_info_truncated_file_reports_partial(tmp_path, capsys, fixture_bytes):
+    # info on a damaged file must report what parsed, not traceback
+    from qoaudio_tpu.cli import main
+
+    p = tmp_path / "cut.qoa"
+    p.write_bytes(fixture_bytes[: len(fixture_bytes) // 2 + 13])
+    assert main(["info", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "frames" in out and "truncated frame" in out
+
+
+def test_cli_info_matches_fixture_metadata(tmp_path, capsys, fixture_bytes):
+    from qoaudio_tpu.cli import main
+
+    p = tmp_path / "full.qoa"
+    p.write_bytes(fixture_bytes)
+    assert main(["info", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "468 frames" in out and "channels 2, sample rate 44100" in out
+    assert "2394122 samples/ch" in out
+
+
+def test_cli_transcode_explicit_backend(tmp_path, capsys):
+    # --backend must pin every stage (e.g. a numpy verification run)
+    import numpy as np
+
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.cli import main
+    from qoaudio_tpu.types import QoaDesc
+
+    rng = np.random.default_rng(5)
+    pcm = rng.integers(-20000, 20000, 120).astype(np.int16)
+    src = tmp_path / "a.qoa"
+    src.write_bytes(codec.encode_all(pcm, QoaDesc(1, 44100, 120)))
+    out_dir = tmp_path / "out"
+    assert main([
+        "--backend", "numpy", "transcode", str(src), "--out-dir", str(out_dir)
+    ]) == 0
+    assert "backend=numpy" in capsys.readouterr().out
+    got = (out_dir / "a.qoa").read_bytes()
+    want = codec.encode_all(
+        codec.decode_all(src.read_bytes()).samples, QoaDesc(1, 44100, 120)
+    )
+    assert got == want

@@ -62,3 +62,53 @@ def test_source_header_prefetch_across_frames():
         next(src)
     hdr = src._decoder.current_frame_header()
     assert hdr.num_samples_per_channel == 100
+
+
+def test_read_stops_at_format_change_and_metadata_matches():
+    # bulk read must return single-format blocks: a stream that switches
+    # channels/rate mid-way yields one segment per format, with
+    # channels/sample_rate describing each block exactly
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.source import QoaPcmSource
+    from qoaudio_tpu.streaming import QoaDecoder
+    from qoaudio_tpu.types import QoaDesc
+
+    pcm1 = make_noise(300, 1, seed=81)
+    d1 = codec.encode_all(pcm1, QoaDesc(1, 48000, 300))
+    pcm2 = make_noise(200, 2, seed=82)
+    d2 = codec.encode_all(pcm2, QoaDesc(2, 44100, 200))
+
+    dec = QoaDecoder.new_streaming()
+    dec._reader.append(d1[8:] + d2[8:])
+    src = QoaPcmSource(dec)
+    seg1 = src.read()
+    assert len(seg1) == 300
+    # read() stopped at the change; metadata describes the staged frame
+    assert (src.channels, src.sample_rate) == (2, 44100)
+    seg2 = src.read()
+    assert len(seg2) == 400
+    assert (src.channels, src.sample_rate) == (2, 44100)
+    assert np.array_equal(seg1, codec.decode_all(d1).samples)
+    assert np.array_equal(seg2, codec.decode_all(d2).samples)
+    assert src.read().size == 0
+
+
+def test_current_frame_len_at_boundary_describes_next_frame():
+    # after the boundary prefetch, channels/rate describe the NEXT frame —
+    # current_frame_len must agree (the reference returns the next frame's
+    # full count, src/lib.rs:966-975)
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.source import QoaPcmSource
+    from qoaudio_tpu.streaming import QoaDecoder
+    from qoaudio_tpu.types import QoaDesc
+
+    pcm1 = make_noise(40, 1, seed=83)
+    d1 = codec.encode_all(pcm1, QoaDesc(1, 44100, 40))
+    pcm2 = make_noise(60, 1, seed=84)
+    d2 = codec.encode_all(pcm2, QoaDesc(1, 44100, 60))
+    dec = QoaDecoder.new_streaming()
+    dec._reader.append(d1[8:] + d2[8:])
+    src = QoaPcmSource(dec)
+    out = [next(src) for _ in range(40)]  # drain exactly frame 1
+    assert np.array_equal(np.array(out, np.int16), codec.decode_all(d1).samples)
+    assert src.current_frame_len() == 60  # the prefetched frame's count
