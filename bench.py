@@ -371,12 +371,9 @@ def bench_transcode_hbm(pcm, channels) -> "tuple[float, float | None]":
 
 
 def main():
-    import jax
-
-    from qoaudio_tpu import codec
-    from qoaudio_tpu.ops.encode import encode_frames, initial_encoder_state
-
-    log(f"devices: {jax.devices()}")
+    # NO jax in this process: even jax.devices() can hang forever when the
+    # tunnel is down, and this process must always print the JSON line.
+    # All device work happens in the --device-json child.
     data, pcm, channels, spc = load_pcm()
     extra = bench_host_paths(data, pcm, channels, spc)
     low = [k for k, f in HOST_FLOORS.items() if extra.get(k, float("inf")) < f]
@@ -393,26 +390,17 @@ def main():
             f"{k}={extra[k]}" for k in sorted(second)
         ))
 
-    # HBM-resident batched working set: fixture PCM replicated across lanes
-    x, lens, F = codec.layout_pcm(pcm, channels, spc)
-    F_use = min(BENCH_FRAMES, F)
-    reps = N_CHAINS // channels
-    xp = jax.device_put(np.repeat(x[:F_use], reps, axis=3))
-    lp = jax.device_put(
-        np.repeat(lens[:F_use, :, None].astype(np.int32), N_CHAINS, axis=2)
-    )
-    state0 = jax.device_put(initial_encoder_state(channels, N_CHAINS))
-    total = F_use * 5120 * N_CHAINS
-
-    # The remote-TPU ("axon") tunnel occasionally degrades transiently by
-    # >10x for a few minutes (observed: the same binary measuring 152 then
-    # 4121 Msps half an hour apart, with the host numbers unaffected).
-    # Device sections therefore retry once after a pause when the headline
-    # lands implausibly low (a quarter of every healthy measurement), and
-    # the better run is reported.
+    # The device sections run in a SUBPROCESS with a hard timeout: the
+    # remote-TPU ("axon") tunnel not only degrades transiently (>10x for
+    # minutes; the same binary measured 152 then 4121 Msps half an hour
+    # apart) but can go fully down, HANGING every device op inside native
+    # code where no Python-level timeout can fire.  Whatever happens to
+    # the child, the parent ALWAYS prints the one JSON line — with the
+    # host metrics at minimum.  Inside a healthy child, low headlines
+    # retry once (see _device_main).
     headline = 0.0
     for attempt in range(2):
-        h, extra2 = _device_section(data, state0, xp, lp, total, pcm, channels)
+        h, extra2 = _device_subprocess()
         # all device metrics are higher-is-better: keep the per-metric best
         # across attempts (a transient tunnel dip can hit one section only)
         for k, v in extra2.items():
@@ -421,13 +409,10 @@ def main():
             else:
                 extra.setdefault(k, v)
         headline = max(headline, h)
-        if headline >= 1000 or attempt == 1:
+        if headline > 0 or attempt == 1:
             break
-        log(
-            f"headline {headline:.0f} Msps looks like transient tunnel "
-            "degradation; retrying once in 60 s"
-        )
-        time.sleep(60)
+        log("device section produced nothing; retrying once in 120 s")
+        time.sleep(120)
 
     print(
         json.dumps(
@@ -443,6 +428,73 @@ def main():
             }
         )
     )
+
+
+def _device_subprocess():
+    """Run the device sections in a child (`bench.py --device-json`) with a
+    hard wall-clock cap; returns (headline, extra) — zeros/empty when the
+    child crashed, hung, or printed nothing parseable."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-json"],
+            stdout=subprocess.PIPE,
+            timeout=int(os.environ.get("QOA_BENCH_DEVICE_TIMEOUT", "1500")),
+        )
+    except subprocess.TimeoutExpired:
+        log("device section timed out (tunnel down?); continuing without it")
+        return 0.0, {}
+    for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+                return float(d.pop("_headline", 0.0)), d
+            except Exception:
+                break
+    log(f"device child produced no metrics (rc={proc.returncode})")
+    return 0.0, {}
+
+
+def _device_main():
+    """Child entry: build the working set, run the device sections, print
+    ONE json line with the device metrics (stderr carries the logs)."""
+    import jax
+
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.ops.encode import initial_encoder_state
+
+    log(f"devices: {jax.devices()}")
+    data, pcm, channels, spc = load_pcm()
+    x, lens, F = codec.layout_pcm(pcm, channels, spc)
+    F_use = min(BENCH_FRAMES, F)
+    reps = N_CHAINS // channels
+    xp = jax.device_put(np.repeat(x[:F_use], reps, axis=3))
+    lp = jax.device_put(
+        np.repeat(lens[:F_use, :, None].astype(np.int32), N_CHAINS, axis=2)
+    )
+    state0 = jax.device_put(initial_encoder_state(channels, N_CHAINS))
+    total = F_use * 5120 * N_CHAINS
+
+    headline = 0.0
+    extra = {}
+    for attempt in range(2):
+        h, extra2 = _device_section(data, state0, xp, lp, total, pcm, channels)
+        for k, v in extra2.items():
+            if isinstance(v, (int, float)):
+                extra[k] = max(extra.get(k, 0.0), v)
+            else:
+                extra.setdefault(k, v)
+        headline = max(headline, h)
+        if headline >= 1000 or attempt == 1:
+            break
+        log(
+            f"headline {headline:.0f} Msps looks like transient tunnel "
+            "degradation; retrying once in 60 s"
+        )
+        time.sleep(60)
+    print(json.dumps({"_headline": round(headline, 1), **extra}))
 
 
 def _device_section(data, state0, xp, lp, total, pcm, channels):
@@ -512,12 +564,19 @@ def _device_section(data, state0, xp, lp, total, pcm, channels):
                 raise RuntimeError("no TPU for pallas")
         except Exception as e:  # pallas unavailable: fall back to XLA kernel
             log(f"pallas path unavailable ({e}); using XLA kernel")
-            headline = bench_device(
-                encode_frames, "xla encode", state0, xp, lp, total
-            )
+            try:
+                headline = bench_device(
+                    encode_frames, "xla encode", state0, xp, lp, total
+                )
+            except Exception as e2:  # backend fully down: report what we have
+                log(f"xla encode bench failed too ({e2})")
+                headline = 0.0
 
     return headline, extra
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--device-json":
+        _device_main()
+    else:
+        main()
