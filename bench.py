@@ -401,6 +401,7 @@ def main():
     headline = 0.0
     for attempt in range(2):
         h, extra2 = _device_subprocess()
+        timed_out = extra2.pop("_timed_out", False)
         # all device metrics are higher-is-better: keep the per-metric best
         # across attempts (a transient tunnel dip can hit one section only)
         for k, v in extra2.items():
@@ -409,7 +410,9 @@ def main():
             else:
                 extra.setdefault(k, v)
         headline = max(headline, h)
-        if headline > 0 or attempt == 1:
+        if headline > 0 or attempt == 1 or timed_out:
+            # a timed-out child burned the full wall-clock cap already — a
+            # second identical wait would likely end the same way
             break
         log("device section produced nothing; retrying once in 120 s")
         time.sleep(120)
@@ -444,7 +447,7 @@ def _device_subprocess():
         )
     except subprocess.TimeoutExpired:
         log("device section timed out (tunnel down?); continuing without it")
-        return 0.0, {}
+        return 0.0, {"_timed_out": True}
     for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
         line = line.strip()
         if line.startswith("{"):
