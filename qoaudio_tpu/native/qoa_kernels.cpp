@@ -359,17 +359,19 @@ __attribute__((always_inline)) inline void step16(Full16& S, int32_t sample_s, i
   v16i sgn_r = (residual >> 31) - ((kZero - residual) >> 31);
   v16i sgn_n = (nr >> 31) - ((kZero - nr) >> 31);
   v16i scaled = nr + sgn_r - sgn_n;
-  scaled = scaled < vbroadcast(-8) ? vbroadcast(-8) : scaled;
-  scaled = scaled > vbroadcast(8) ? vbroadcast(8) : scaled;
+  scaled = (v16i)_mm512_max_epi32(
+      _mm512_min_epi32((__m512i)scaled, (__m512i)vbroadcast(8)),
+      (__m512i)vbroadcast(-8));
   v16i q = __builtin_shuffle(kQuantLo, kQuantHi, scaled + vbroadcast(8));
   v16i idx = q >> 1;
   v16i m01 = idx == kZero ? kMag0V : kMag1V;
   v16i m23 = idx == vbroadcast(2) ? kMag2V : kMag3V;
   v16i m = idx < vbroadcast(2) ? m01 : m23;
   v16i dq = (q & kOne) == kOne ? kZero - m : m;
-  v16i r = (v16i)((v16u)p + (v16u)dq);
-  r = r < vbroadcast(-32768) ? vbroadcast(-32768) : r;
-  r = r > vbroadcast(32767) ? vbroadcast(32767) : r;
+  v16i r = (v16i)_mm512_max_epi32(
+      _mm512_min_epi32((__m512i)(v16i)((v16u)p + (v16u)dq),
+                       (__m512i)vbroadcast(32767)),
+      (__m512i)vbroadcast(-32768));
   v16u err = (v16u)sample - (v16u)r;
   v16u err_sq = err * err;
   v16u pen_sq = (v16u)pen * (v16u)pen;
@@ -421,7 +423,17 @@ __attribute__((always_inline)) inline void step16(Full16& S, int32_t sample_s, i
 // (measured: zero overflows across the fixture) and a saturating-add
 // comparison flags any lane whose weight leaves i16 for the exact
 // full-16 fallback (adversarial wrap regimes).
-typedef int16_t v32s __attribute__((vector_size(64)));
+//
+// The step is ISSUE-WIDTH-bound, not latency-bound: its serial recurrence
+// is ~24 cycles but GCC's vector-extension codegen emitted ~93
+// instructions/step (~40+ cycles at two 512-bit ALU ports), materializing
+// every compare as a -1/0 vector and every select as xor/sub chains.  The
+// body therefore uses AVX-512 MASK-REGISTER forms directly — masked
+// add/sub fuses each (materialize, combine) pair, the r clamp is forced
+// to vpminsd/vpmaxsd (GCC compiled the ?: idiom here, unlike the decoder's
+// identical source, to a 9-cycle compare+blend chain), and the wrap flags
+// accumulate in k-registers folded once per window — measured +16% encode
+// throughput, bit-exact (experiments/cpp_step_opcount.py).
 
 struct Cont16 {
   v16i HA, HB, WA, WB;          // packed (H0,H1) (H2,H3) (W0,W1) (W2,W3)
@@ -432,46 +444,63 @@ struct Cont16 {
   v16u rank_lo, rank_hi, word_hi, word_lo;
 };
 
-inline v16i maddw(v16i a, v16i b) {
-  return (v16i)_mm512_madd_epi16((__m512i)a, (__m512i)b);
-}
+typedef char v64b __attribute__((vector_size(64)));
 
 __attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
-                                                   int k, v16i& wrapflag) {
-  const v16i kZero = vbroadcast(0);
-  // exact while |W|, |H| < 2^15 (guarded): i16 products are exact in i32
-  // and the pair sums wrap like the reference's i32 arithmetic
-  v16i p = (v16i)((v16u)maddw(S.WA, S.HA) + (v16u)maddw(S.WB, S.HB)) >> 13;
-  v16i ssum = (v16i)((v16u)maddw(S.WA, S.WA) + (v16u)maddw(S.WB, S.WB));
-  v16i pen = (ssum >> 18) - 0x8FF;
-  pen = pen < kZero ? kZero : pen;
-  v16i residual = (v16i)((v16u)sample - (v16u)p);
-  // threshold quantizer (see struct comment): level masks are -1/0.
-  // The two sides are mutually exclusive (T*N < 0 <= T*P), so each level
-  // mask is a plain OR of two independent compares — no sign blend on the
-  // critical path.
-  v16i negm = residual < kZero;
-  v16i c2 = (residual >= S.T2P) | (residual <= S.T2N);
-  v16i c4 = (residual >= S.T4P) | (residual <= S.T4N);
-  v16i c6 = (residual >= S.T6P) | (residual <= S.T6N);
-  v16i absr = (residual ^ negm) - negm;
-  wrapflag |= (v16i)(absr > S.WLIM);
-  v16i csum = c2 + c4 + c6;  // 0 .. -3 == -idx
-  v16i m = S.M0 + (c2 & S.D1) + (c4 & S.D2) + (c6 & S.D3);
-  v16i q = kZero - ((csum << 1) + negm);  // (idx << 1) | (residual < 0)
-  v16i dq = (m ^ negm) - negm;  // negative residuals take -mag (odd codes)
-  v16i r = (v16i)((v16u)p + (v16u)dq);
-  r = r < vbroadcast(-32768) ? vbroadcast(-32768) : r;
-  r = r > vbroadcast(32767) ? vbroadcast(32767) : r;
-  v16u err = (v16u)sample - (v16u)r;
-  v16u err_sq = err * err;
-  v16u pen_sq = (v16u)pen * (v16u)pen;
-  v16u lo1 = S.rank_lo + err_sq;
-  S.rank_hi -= (v16u)(lo1 < S.rank_lo);
-  v16u lo2 = lo1 + pen_sq;
-  S.rank_hi -= (v16u)(lo2 < lo1);
-  S.rank_lo = lo2;
-  v16u qa = (v16u)q;
+                                                   int k, __mmask16& wlim,
+                                                   __mmask32& wovfA,
+                                                   __mmask32& wovfB) {
+  const __m512i z = _mm512_setzero_si512();
+  const __m512i HA = (__m512i)S.HA, HB = (__m512i)S.HB;
+  const __m512i WA = (__m512i)S.WA, WB = (__m512i)S.WB;
+  __m512i p = _mm512_srai_epi32(
+      _mm512_add_epi32(_mm512_madd_epi16(WA, HA), _mm512_madd_epi16(WB, HB)),
+      13);
+  __m512i pen = _mm512_max_epi32(
+      _mm512_sub_epi32(
+          _mm512_srai_epi32(_mm512_add_epi32(_mm512_madd_epi16(WA, WA),
+                                             _mm512_madd_epi16(WB, WB)),
+                            18),
+          _mm512_set1_epi32(0x8FF)),
+      z);
+  __m512i residual = _mm512_sub_epi32((__m512i)sample, p);
+  __mmask16 kneg = _mm512_cmplt_epi32_mask(residual, z);
+  __mmask16 c2 = _mm512_cmple_epi32_mask((__m512i)S.T2P, residual) |
+                 _mm512_cmple_epi32_mask(residual, (__m512i)S.T2N);
+  __mmask16 c4 = _mm512_cmple_epi32_mask((__m512i)S.T4P, residual) |
+                 _mm512_cmple_epi32_mask(residual, (__m512i)S.T4N);
+  __mmask16 c6 = _mm512_cmple_epi32_mask((__m512i)S.T6P, residual) |
+                 _mm512_cmple_epi32_mask(residual, (__m512i)S.T6N);
+  wlim |= _mm512_cmp_epi32_mask(_mm512_abs_epi32(residual),
+                                (__m512i)S.WLIM, _MM_CMPINT_NLE);
+  __m512i m = _mm512_mask_add_epi32((__m512i)S.M0, c2, (__m512i)S.M0,
+                                    (__m512i)S.D1);
+  m = _mm512_mask_add_epi32(m, c4, m, (__m512i)S.D2);
+  m = _mm512_mask_add_epi32(m, c6, m, (__m512i)S.D3);
+  const __m512i kTwo = _mm512_set1_epi32(2);
+  __m512i q = _mm512_maskz_mov_epi32(kneg, _mm512_set1_epi32(1));
+  q = _mm512_mask_add_epi32(q, c2, q, kTwo);
+  q = _mm512_mask_add_epi32(q, c4, q, kTwo);
+  q = _mm512_mask_add_epi32(q, c6, q, kTwo);
+  __m512i dq = _mm512_mask_sub_epi32(m, kneg, z, m);
+  __m512i r = _mm512_max_epi32(
+      _mm512_min_epi32(_mm512_add_epi32(p, dq), _mm512_set1_epi32(32767)),
+      _mm512_set1_epi32(-32768));
+  __m512i err = _mm512_sub_epi32((__m512i)sample, r);
+  __m512i err_sq = _mm512_mullo_epi32(err, err);
+  __m512i pen_sq = _mm512_mullo_epi32(pen, pen);
+  const __m512i lo0 = (__m512i)S.rank_lo;
+  __m512i lo1 = _mm512_add_epi32(lo0, err_sq);
+  __mmask16 ca = _mm512_cmplt_epu32_mask(lo1, lo0);
+  __m512i lo2 = _mm512_add_epi32(lo1, pen_sq);
+  __mmask16 cb = _mm512_cmplt_epu32_mask(lo2, lo1);
+  const __m512i kOneV = _mm512_set1_epi32(1);
+  __m512i hi = (__m512i)S.rank_hi;
+  hi = _mm512_mask_add_epi32(hi, ca, hi, kOneV);
+  hi = _mm512_mask_add_epi32(hi, cb, hi, kOneV);
+  S.rank_lo = (v16u)lo2;
+  S.rank_hi = (v16u)hi;
+  v16u qa = (v16u)(v16i)q;
   if (k <= 8) {
     S.word_hi |= qa << (25 - 3 * k);
   } else if (k == 9) {
@@ -480,25 +509,25 @@ __attribute__((always_inline)) inline void step16g(Cont16& S, v16i sample,
   } else {
     S.word_lo |= qa << (57 - 3 * k);
   }
-  // sign-sign update in the packed domain: per-16-bit signs of H select
-  // +/-d; a saturating-add comparison catches any weight leaving i16
-  v16i d = dq >> 4;
-  v16i d16 = (d << 16) | (d & vbroadcast(0xFFFF));
-  const v32s z32 = v32s{};
-  v32s mA = (v32s)S.HA < z32;
-  v32s mB = (v32s)S.HB < z32;
-  v32s sdA = ((v32s)d16 ^ mA) - mA;
-  v32s sdB = ((v32s)d16 ^ mB) - mB;
-  v32s wa2 = (v32s)S.WA + sdA;
-  v32s wb2 = (v32s)S.WB + sdB;
-  wrapflag |= (v16i)(wa2 != (v32s)_mm512_adds_epi16((__m512i)S.WA, (__m512i)sdA));
-  wrapflag |= (v16i)(wb2 != (v32s)_mm512_adds_epi16((__m512i)S.WB, (__m512i)sdB));
+  __m512i d = _mm512_srai_epi32(dq, 4);
+  const v64b kDupLo16 = {
+      0, 1, 0, 1, 4, 5, 4, 5, 8, 9, 8, 9, 12, 13, 12, 13,
+      0, 1, 0, 1, 4, 5, 4, 5, 8, 9, 8, 9, 12, 13, 12, 13,
+      0, 1, 0, 1, 4, 5, 4, 5, 8, 9, 8, 9, 12, 13, 12, 13,
+      0, 1, 0, 1, 4, 5, 4, 5, 8, 9, 8, 9, 12, 13, 12, 13};
+  __m512i d16 = _mm512_shuffle_epi8(d, (__m512i)kDupLo16);
+  __mmask32 mA = _mm512_cmplt_epi16_mask(HA, z);
+  __mmask32 mB = _mm512_cmplt_epi16_mask(HB, z);
+  __m512i sdA = _mm512_mask_sub_epi16(d16, mA, z, d16);
+  __m512i sdB = _mm512_mask_sub_epi16(d16, mB, z, d16);
+  __m512i wa2 = _mm512_add_epi16(WA, sdA);
+  __m512i wb2 = _mm512_add_epi16(WB, sdB);
+  wovfA |= _mm512_cmpneq_epi16_mask(wa2, _mm512_adds_epi16(WA, sdA));
+  wovfB |= _mm512_cmpneq_epi16_mask(wb2, _mm512_adds_epi16(WB, sdB));
   S.WA = (v16i)wa2;
   S.WB = (v16i)wb2;
-  // history shift register in packed form: (H0,H1) <- (H1,H2), (H2,H3) <- (H3,r)
-  v16u hbu = (v16u)S.HB;
   S.HA = (v16i)(((v16u)S.HA >> 16) | ((v16u)S.HB << 16));
-  S.HB = (v16i)((hbu >> 16) | ((v16u)r << 16));
+  S.HB = (v16i)(((v16u)S.HB >> 16) | ((v16u)(v16i)r << 16));
 }
 
 // Exact threshold tables (host-derived integer boundaries of the
@@ -794,9 +823,14 @@ void encode_windows_c(const int16_t* __restrict__ x,
     //      tables by the kept sf ids) ----
     Cont16 K[NV];
     v16i wrapflag[NV];
+    __mmask16 wlim[NV];
+    __mmask32 wovfA[NV], wovfB[NV];
     for (int v = 0; v < NV; ++v) {
       Cont16& S = K[v];
       wrapflag[v] = v16i{};
+      wlim[v] = 0;
+      wovfA[v] = 0;
+      wovfB[v] = 0;
       const int ca = 2 * v;
       const int cb = (2 * v + 1 < C) ? 2 * v + 1 : ca;
       const Full16& A = F[ca];
@@ -856,9 +890,12 @@ void encode_windows_c(const int16_t* __restrict__ x,
         const int32_t sb = xp[2 * v + 1 < C ? 2 * v + 1 : 2 * v];
         v16i sample = {sa, sa, sa, sa, sa, sa, sa, sa,
                        sb, sb, sb, sb, sb, sb, sb, sb};
-        step16g(K[v], sample, k, wrapflag[v]);
+        step16g(K[v], sample, k, wlim[v], wovfA[v], wovfB[v]);
       }
     }
+    for (int v = 0; v < NV; ++v)
+      wrapflag[v] |= (v16i)_mm512_movm_epi32(wlim[v]) |
+                     (v16i)_mm512_movm_epi16(wovfA[v] | wovfB[v]);
 
     // ---- winners: one vectorized lexicographic argmin per pair vector
     //      (both channels at once), then per-channel stragglers ----
