@@ -52,7 +52,7 @@ BENCH_FRAMES = 16  # frames per stream in the HBM-resident working set
 HOST_FLOORS = {
     "decode_e2e_msps": 230.0,
     "decode_stream_msps": 235.0,
-    "encode_single_file_e2e_msps": 54.0,
+    "encode_single_file_e2e_msps": 64.0,
 }
 
 

@@ -19,6 +19,11 @@ sessions; same-process best-of-N only):
       the weight-update path: dq->d->shufb vs dq->d->slld->ternlog)
 
 Every variant is bit-exactness-gated against v0 on the full fixture.
+
+ARCHIVED: measured v1/v2 = 1.029x vs v0 (2026-08-17); the winning form
+(further improved by cpp_step_opcount.py's v4) is now in-tree, so the
+source anchors below match the PRE-rewrite qoa_kernels.cpp (commit
+aabd58e) and this script no longer runs against the current tree.
 """
 import ctypes
 import os

@@ -19,6 +19,13 @@ Variants (same-process interleaved best-of-N, bit-exactness-gated):
   v2: clamp intrinsics + vpshufb d16 (cpp_clamp_codegen.py winner)
   v4: v2 + full mask-register step16g rewrite
   v5: v4 + unrolled len==20 specialization (immediate word shifts)
+
+OUTCOME (2026-08-17, fixture, stereo, all bit-exact): v4 = 1.15x vs v2,
+1.167x vs the shipped v0 (same-process head-to-head; kernel 86.5 -> 101
+Msps); v5's full unroll LOSES the entire v4 gain (84.8 Msps) — do not
+retry unrolling.  v4 was applied to qoa_kernels.cpp, so the anchors
+below match the PRE-rewrite source (commit aabd58e) and this script no
+longer runs against the current tree.
 """
 import ctypes
 import os
