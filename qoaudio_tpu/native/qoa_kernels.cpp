@@ -822,12 +822,15 @@ void encode_windows_c(const int16_t* __restrict__ x,
     //      threshold-quantizer constants gather from the global per-sf
     //      tables by the kept sf ids) ----
     Cont16 K[NV];
-    v16i wrapflag[NV];
+    // wrap-risk flags as k-register masks end to end (one bit per 32-bit
+    // lane; lanes 0-7 = channel a, 8-15 = channel b): the fold and the
+    // per-channel test are scalar mask ops instead of 64-byte stack
+    // round-trips
+    __mmask16 wrapflag[NV];
     __mmask16 wlim[NV];
     __mmask32 wovfA[NV], wovfB[NV];
     for (int v = 0; v < NV; ++v) {
       Cont16& S = K[v];
-      wrapflag[v] = v16i{};
       wlim[v] = 0;
       wovfA[v] = 0;
       wovfB[v] = 0;
@@ -856,11 +859,17 @@ void encode_windows_c(const int16_t* __restrict__ x,
       S.HB = (h2 & kLo16) | (h3 << 16);
       S.WA = (w0 & kLo16) | (w1 << 16);
       S.WB = (w2 & kLo16) | (w3 << 16);
-      const v16i kPMax = vbroadcast(32767);
-      const v16i kPMin = vbroadcast(-32768);
-      wrapflag[v] |= (v16i)((w0 > kPMax) | (w0 < kPMin) | (w1 > kPMax) |
-                            (w1 < kPMin) | (w2 > kPMax) | (w2 < kPMin) |
-                            (w3 > kPMax) | (w3 < kPMin));
+      const __m512i kPMax = _mm512_set1_epi32(32767);
+      const __m512i kPMin = _mm512_set1_epi32(-32768);
+      wrapflag[v] =
+          _mm512_cmp_epi32_mask((__m512i)w0, kPMax, _MM_CMPINT_NLE) |
+          _mm512_cmp_epi32_mask((__m512i)w0, kPMin, _MM_CMPINT_LT) |
+          _mm512_cmp_epi32_mask((__m512i)w1, kPMax, _MM_CMPINT_NLE) |
+          _mm512_cmp_epi32_mask((__m512i)w1, kPMin, _MM_CMPINT_LT) |
+          _mm512_cmp_epi32_mask((__m512i)w2, kPMax, _MM_CMPINT_NLE) |
+          _mm512_cmp_epi32_mask((__m512i)w2, kPMin, _MM_CMPINT_LT) |
+          _mm512_cmp_epi32_mask((__m512i)w3, kPMax, _MM_CMPINT_NLE) |
+          _mm512_cmp_epi32_mask((__m512i)w3, kPMin, _MM_CMPINT_LT);
       S.rank_lo = (v16u)pick((v16i)A.rank_lo, (v16i)B.rank_lo);
       S.rank_hi = (v16u)pick((v16i)A.rank_hi, (v16i)B.rank_hi);
       S.word_hi = (v16u)pick((v16i)A.word_hi, (v16i)B.word_hi);
@@ -894,8 +903,10 @@ void encode_windows_c(const int16_t* __restrict__ x,
       }
     }
     for (int v = 0; v < NV; ++v)
-      wrapflag[v] |= (v16i)_mm512_movm_epi32(wlim[v]) |
-                     (v16i)_mm512_movm_epi16(wovfA[v] | wovfB[v]);
+      wrapflag[v] |= wlim[v] |
+                     _mm512_test_epi32_mask(
+                         _mm512_movm_epi16(wovfA[v] | wovfB[v]),
+                         _mm512_set1_epi32(-1));
 
     // ---- winners: one vectorized lexicographic argmin per pair vector
     //      (both channels at once), then per-channel stragglers ----
@@ -910,15 +921,10 @@ void encode_windows_c(const int16_t* __restrict__ x,
       // wrap risk in any surviving lane: the threshold quantizer may have
       // diverged from the wrapping reference multiply — re-evaluate the
       // whole window for this channel on the exact full-16 path
-      {
-        uint64_t acc[8];
-        std::memcpy(acc, &wrapflag[c / 2], 64);
-        if (acc[base / 2] | acc[base / 2 + 1] | acc[base / 2 + 2] |
-            acc[base / 2 + 3]) {
-          ++g_fallback_count;
-          exact_window_channel(xw, C, c, len, state, &words[w * C + c]);
-          continue;
-        }
+      if ((wrapflag[c / 2] >> base) & 0xFF) {
+        ++g_fallback_count;
+        exact_window_channel(xw, C, c, len, state, &words[w * C + c]);
+        continue;
       }
 
       const HalfWin& hw = hws[c / 2];
@@ -930,19 +936,29 @@ void encode_windows_c(const int16_t* __restrict__ x,
       ScalarLane B;
       {
         const int l = hw.lane[half];
+        // extract lane l via vpermd + vmovd (a variable vector subscript
+        // compiles to a 64-byte stack spill + reload; the permute form has
+        // no store-forward stall and the six extracts run in parallel)
+        const __m512i li = _mm512_set1_epi32(l);
+        auto lane32 = [&](v16i v) {
+          return _mm_cvtsi128_si32(_mm512_castsi512_si128(
+              _mm512_permutexvar_epi32(li, (__m512i)v)));
+        };
         // unpack the 16-bit pairs (sign-extending; values are i16 by the
         // gather-time guard)
-        B.h0 = (int16_t)(S.HA[l] & 0xFFFF);
-        B.h1 = S.HA[l] >> 16;
-        B.h2 = (int16_t)(S.HB[l] & 0xFFFF);
-        B.h3 = S.HB[l] >> 16;
-        B.w0 = (int16_t)(S.WA[l] & 0xFFFF);
-        B.w1 = S.WA[l] >> 16;
-        B.w2 = (int16_t)(S.WB[l] & 0xFFFF);
-        B.w3 = S.WB[l] >> 16;
+        const int32_t ha = lane32(S.HA), hb = lane32(S.HB);
+        const int32_t wa = lane32(S.WA), wb = lane32(S.WB);
+        B.h0 = (int16_t)(ha & 0xFFFF);
+        B.h1 = ha >> 16;
+        B.h2 = (int16_t)(hb & 0xFFFF);
+        B.h3 = hb >> 16;
+        B.w0 = (int16_t)(wa & 0xFFFF);
+        B.w1 = wa >> 16;
+        B.w2 = (int16_t)(wb & 0xFFFF);
+        B.w3 = wb >> 16;
         B.rank = b_total;
-        B.word =
-            (uint64_t((uint32_t)S.word_hi[l]) << 32) | (uint32_t)S.word_lo[l];
+        B.word = (uint64_t((uint32_t)lane32((v16i)S.word_hi)) << 32) |
+                 (uint32_t)lane32((v16i)S.word_lo);
       }
 
       // Stragglers: a pruned lane can still win if its first-sample rank
@@ -956,14 +972,17 @@ void encode_windows_c(const int16_t* __restrict__ x,
       // vectorized qualification: one 2-limb compare of all 8 discarded
       // firsts against the bound; ~84% of windows skip the whole scan
       {
-        const v16u bt_lo = (v16u)vbroadcast((int32_t)(uint32_t)b_total);
-        const v16u bt_hi = (v16u)vbroadcast((int32_t)(uint32_t)(b_total >> 32));
-        const v16i ok = (v16i)((dfirst_hi[c] < bt_hi) |
-                               ((dfirst_hi[c] == bt_hi) &
-                                (dfirst_lo[c] <= bt_lo)));
-        uint64_t accq[8];
-        std::memcpy(accq, &ok, 64);
-        if (!(accq[0] | accq[1] | accq[2] | accq[3])) goto no_stragglers;
+        const __m512i bt_lo =
+            _mm512_set1_epi32((int32_t)(uint32_t)b_total);
+        const __m512i bt_hi =
+            _mm512_set1_epi32((int32_t)(uint32_t)(b_total >> 32));
+        const __m512i dhi = (__m512i)dfirst_hi[c];
+        const __m512i dlo = (__m512i)dfirst_lo[c];
+        const __mmask16 qual =
+            _mm512_cmplt_epu32_mask(dhi, bt_hi) |
+            (_mm512_cmpeq_epi32_mask(dhi, bt_hi) &
+             _mm512_cmple_epu32_mask(dlo, bt_lo));
+        if (!(qual & 0xFF)) goto no_stragglers;
       }
       for (int j = 0; j < 8; ++j) {
         const uint64_t fs =
