@@ -623,7 +623,14 @@ class QoaDecoder:
             else:
                 self.prefetch_hits += 1
         else:
-            items, err = self._produce()
+            try:
+                items, err = self._produce()
+            except Exception as e:
+                # same guard as the worker path above: _produce wraps its
+                # record-intake and decode stages itself, so this only
+                # fires for faults outside those (e.g. the slab parser) —
+                # they too must arrive typed, with the decoder dead
+                items, err = [], e
         self._queue.extend(items)
         self._pending_error = err
         # pipeline the NEXT batch while the consumer drains this one (only
