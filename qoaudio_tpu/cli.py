@@ -69,28 +69,34 @@ def _cmd_decode(args) -> int:
     return 0
 
 
-def _play_audio_sink(src, first_block) -> int:
+def _play_audio_sink(src, block, bf, pending) -> int:
     """Stream decoded PCM to a real audio device via sounddevice.
 
     The analog of the reference's rodio sink (/root/reference/
     examples/play.rs:11-25, src/lib.rs:914-989): blocks stream to the
     device as frames decode, so playback starts before the file finishes
-    decoding.
+    decoding.  ``bf`` is ``block``'s (channels, rate); ``pending`` is an
+    already-read (block, format) of the NEXT segment, or None.
     """
     import sounddevice as sd  # availability probed by the caller
 
-    block = first_block
     while len(block):
-        # one OutputStream per format segment: src.read stops at format
-        # changes, so each block is single-format and reshape is exact
-        ch, rate = src.channels, src.sample_rate
+        # one OutputStream per format segment: a read never spans a
+        # format change, and each block carries its own format (the
+        # source's channels/sample_rate can already describe the NEXT
+        # staged frame when a read stopped at the boundary)
+        ch, rate = bf
         with sd.OutputStream(
             samplerate=rate, channels=ch, dtype="int16"
         ) as stream:
             while len(block):
                 stream.write(np.ascontiguousarray(block.reshape(-1, ch)))
-                block = src.read(8192 * ch)
-                if (src.channels, src.sample_rate) != (ch, rate):
+                if pending is not None:
+                    (block, bf), pending = pending, None
+                else:
+                    block = src.read(8192 * ch)
+                    bf = (src.block_channels, src.block_sample_rate)
+                if bf != (ch, rate):
                     break  # reopen the device for the new format
     return 0
 
@@ -108,14 +114,23 @@ def _cmd_play(args) -> int:
     from .streaming import QoaDecoder
 
     src = QoaPcmSource(QoaDecoder.open(args.input, backend=args.backend))
-    # touch the first frame so metadata (channels/rate) is known, THEN top
+    # pull one sample so the first block's format is known (streaming-mode
+    # files report channels 0 until the first frame is pulled), then top
     # up to a channel-aligned block so the audio sink's (n, channels)
-    # reshape holds for every channel count — streaming-mode files report
-    # channels 0 until the first frame is pulled
+    # reshape holds for every channel count.  One read never spans a
+    # format change, but CONSECUTIVE reads cross it — compare block
+    # formats before merging and hold a crossed block as pending.
     first = src.read(1)
+    fmt0 = (src.block_channels, src.block_sample_rate)
+    pending = None  # an already-read (block, format) of the NEXT segment
     if len(first):
-        ch = max(1, src.channels)
-        first = np.concatenate([first, src.read(8192 * ch - 1)])
+        top = src.read(8192 * max(1, fmt0[0]) - 1)
+        if top.size:
+            bf = (src.block_channels, src.block_sample_rate)
+            if bf == fmt0:
+                first = np.concatenate([first, top])
+            else:  # 1-sample first segment, already crossed the boundary
+                pending = (top, bf)
 
     sink = args.sink
     if sink == "audio":
@@ -126,8 +141,8 @@ def _cmd_play(args) -> int:
             import sounddevice as sd
 
             sd.check_output_settings(
-                samplerate=max(1, src.sample_rate),
-                channels=max(1, src.channels),
+                samplerate=max(1, fmt0[1]),
+                channels=max(1, fmt0[0]),
                 dtype="int16",
             )
         except Exception as e:  # no module or no usable device
@@ -135,26 +150,39 @@ def _cmd_play(args) -> int:
                   file=sys.stderr)
             sink = "wav"
         else:
-            return _play_audio_sink(src, first)
-    samples = np.concatenate([first, src.read()])
+            return _play_audio_sink(src, first, fmt0, pending)
     if sink == "raw":
         # raw PCM is untyped: stream every segment regardless of format
-        sys.stdout.buffer.write(samples.astype("<i2").tobytes())
+        sys.stdout.buffer.write(first.astype("<i2").tobytes())
+        if pending is not None:
+            sys.stdout.buffer.write(pending[0].astype("<i2").tobytes())
         while True:
             more = src.read()
             if not more.size:
                 break
             sys.stdout.buffer.write(more.astype("<i2").tobytes())
         return 0
-    if samples.size == 0 or src.channels == 0 or src.sample_rate == 0:
+    # WAV sink: drain the rest of the FIRST format segment only (a WAV
+    # holds exactly one format; block formats gate every append)
+    blocks = [first]
+    changed = pending is not None
+    while not changed:
+        b = src.read()
+        if not b.size:
+            break
+        if (src.block_channels, src.block_sample_rate) != fmt0:
+            changed = True
+            break
+        blocks.append(b)
+    samples = np.concatenate(blocks)
+    if samples.size == 0 or fmt0[0] == 0 or fmt0[1] == 0:
         print(f"{args.input}: no playable frames; nothing written")
         return 0
-    ch0, rate0 = src.channels, src.sample_rate
+    ch0, rate0 = fmt0
     out = args.output or (os.path.splitext(args.input)[0] + ".play.wav")
     from .utils.wav import write_wav
 
-    if src.read(1).size:
-        # read() stops at format changes; a WAV holds exactly one format
+    if changed:
         print(
             f"{args.input}: mid-stream format change — writing only the "
             "first segment (use --sink raw for the whole stream)",

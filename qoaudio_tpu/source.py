@@ -35,6 +35,12 @@ class QoaPcmSource:
         self._idx = 0
         self._next_frame = None  # prefetched (header, samples)
         self._finished = False
+        # format of the block the last read() returned (0, 0 before any
+        # read / after an empty one).  NOT the same as channels/
+        # sample_rate: when a read stops AT a format boundary the next
+        # frame is already staged, so those describe the NEXT block.
+        self.block_channels = 0
+        self.block_sample_rate = 0
 
     # -- source metadata ---------------------------------------------------
 
@@ -113,9 +119,11 @@ class QoaPcmSource:
         """Read up to n interleaved samples (all remaining if None).
 
         Stops early at a mid-stream format change (streaming mode), so a
-        returned block is always single-format: ``channels`` /
-        ``sample_rate`` describe it exactly, and the next ``read`` starts
-        the new format.
+        returned block is always single-format — described by
+        ``block_channels`` / ``block_sample_rate``.  (``channels`` /
+        ``sample_rate`` can differ right after a read that stopped AT a
+        boundary: they describe the next, already-staged frame.)  The
+        next ``read`` starts the new format.
         """
         chunks = []
         got = 0
@@ -143,5 +151,7 @@ class QoaPcmSource:
             self._idx += take
             got += take
         if chunks:
+            self.block_channels, self.block_sample_rate = fmt0
             return np.concatenate(chunks)
+        self.block_channels = self.block_sample_rate = 0
         return np.empty(0, dtype=np.int16)

@@ -150,3 +150,128 @@ def test_cli_transcode_explicit_backend(tmp_path, capsys):
         codec.decode_all(src.read_bytes()).samples, QoaDesc(1, 44100, 120)
     )
     assert got == want
+
+
+def _two_segment_streaming_file(tmp_path, rates=(44100, 22050)):
+    """Streaming-mode file: two mono frames with different sample rates
+    (per-frame format changes are streaming-mode-legal, src/lib.rs:263-268).
+    """
+    from qoaudio_tpu import format as fmt
+
+    a = codec.encode_all(make_sine(100, 1, rate=rates[0]), QoaDesc(1, rates[0], 100))
+    b = codec.encode_all(make_sine(100, 1, rate=rates[1]), QoaDesc(1, rates[1], 100))
+    p = tmp_path / "seg.qoa"
+    p.write_bytes(fmt.pack_file_header(0) + a[8:] + b[8:])
+    return p
+
+
+def test_cli_play_audio_sink_falls_back_to_wav(tmp_path, wav_file, capsys):
+    """No sounddevice/audio device on this host: --sink audio must fall
+    back to the WAV sink with a notice, not crash (cli.py probe path)."""
+    wav_in, pcm = wav_file
+    qoa = tmp_path / "o.qoa"
+    cli.main(["encode", str(wav_in), str(qoa)])
+    out_wav = tmp_path / "fallback.wav"
+    assert (
+        cli.main(["play", str(qoa), "--sink", "audio", "--output", str(out_wav)])
+        == 0
+    )
+    err = capsys.readouterr().err
+    assert "audio sink unavailable" in err
+    got, ch, rate = read_wav(out_wav)
+    assert ch == 2 and rate == 44100 and len(got) == 10000
+
+
+def test_cli_play_raw_sink_streams_all_segments(tmp_path, capsysbinary):
+    """--sink raw is untyped PCM: every segment streams, even across
+    mid-stream format changes that the WAV sink cannot represent."""
+    p = _two_segment_streaming_file(tmp_path)
+    assert cli.main(["play", str(p), "--sink", "raw"]) == 0
+    raw = capsysbinary.readouterr().out
+    assert len(raw) == 2 * 100 * 2  # both 100-sample mono segments as i16
+
+
+def test_cli_play_wav_sink_warns_on_format_change(tmp_path, capsys):
+    """The WAV sink holds one format: a mid-stream change writes only the
+    first segment and says so."""
+    p = _two_segment_streaming_file(tmp_path)
+    out_wav = tmp_path / "seg.wav"
+    assert cli.main(["play", str(p), "--output", str(out_wav)]) == 0
+    err = capsys.readouterr().err
+    assert "format change" in err
+    got, ch, rate = read_wav(out_wav)
+    assert (ch, rate, len(got)) == (1, 44100, 100)
+
+
+def test_cli_play_header_only_stream(tmp_path, capsys):
+    """A parseable stream with zero frames renders nothing, exits 0."""
+    from qoaudio_tpu import format as fmt
+
+    p = tmp_path / "empty.qoa"
+    p.write_bytes(fmt.pack_file_header(0))
+    assert cli.main(["play", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "no playable frames" in out
+
+
+def test_cli_info_damage_reports(tmp_path, capsys):
+    """info must classify damage: bad interior header, trailing bytes."""
+    from qoaudio_tpu import format as fmt
+
+    pcm = make_sine(100, 1)
+    good = codec.encode_all(pcm, QoaDesc(1, 44100, 100))
+
+    bad_hdr = good + fmt.pack_frame_header(0, 44100, 100, 16).to_bytes(8, "big")
+    p1 = tmp_path / "badhdr.qoa"
+    p1.write_bytes(bad_hdr)
+    assert cli.main(["info", str(p1)]) == 0
+    assert "invalid frame header" in capsys.readouterr().out
+
+    p2 = tmp_path / "trail.qoa"
+    p2.write_bytes(good + b"\x01\x02\x03")
+    assert cli.main(["info", str(p2)]) == 0
+    assert "trailing 3 bytes" in capsys.readouterr().out
+
+    p3 = tmp_path / "hdronly.qoa"
+    p3.write_bytes(fmt.pack_file_header(0))
+    assert cli.main(["info", str(p3)]) == 0
+    assert "no frames" in capsys.readouterr().out
+
+
+def test_cli_play_audio_sink_reopens_per_segment(tmp_path, monkeypatch):
+    """The audio sink must label every block with ITS OWN format: a read
+    that stops at a format boundary leaves the source's channels/
+    sample_rate describing the NEXT staged frame, so using those for the
+    current block reshaped mono PCM as stereo (fixed bug)."""
+    import sys as _sys
+    import types as _types
+
+    opened = []
+    writes = []
+
+    class FakeStream:
+        def __init__(self, samplerate, channels, dtype):
+            assert dtype == "int16"
+            self.samplerate, self.channels = samplerate, channels
+            opened.append((channels, samplerate))
+            writes.append(0)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def write(self, arr):
+            assert arr.ndim == 2 and arr.shape[1] == self.channels
+            writes[-1] += arr.shape[0] * arr.shape[1]
+
+    fake = _types.SimpleNamespace(
+        OutputStream=FakeStream,
+        check_output_settings=lambda **kw: None,
+    )
+    monkeypatch.setitem(_sys.modules, "sounddevice", fake)
+    p = _two_segment_streaming_file(tmp_path)  # mono 44100, then mono 22050
+    assert cli.main(["play", str(p), "--sink", "audio"]) == 0
+    assert opened == [(1, 44100), (1, 22050)]
+    assert writes == [100, 100]
