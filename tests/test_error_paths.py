@@ -193,3 +193,122 @@ def test_fetch_arrays_numpy_passthrough():
 
     d = jnp.arange(8)
     assert np.array_equal(fetch_array(d), np.arange(8))
+
+
+def _ragged_stream(lens, channels=1, rate=44100):
+    """Fixed-mode stream with partial INTERIOR frames (legal per
+    src/lib.rs:54-57): frame i carries lens[i] samples/channel."""
+    from qoaudio_tpu.streaming import QoaEncoder
+
+    total = sum(lens)
+    pcm = make_sine(total, channels)
+    enc = QoaEncoder(QoaDesc(channels, rate, total))
+    buf = io.BytesIO()
+    buf.write(fmt.pack_file_header(total))
+    pos = 0
+    for ln in lens:
+        enc.encode_frame(pcm[pos * channels : (pos + ln) * channels], buf)
+        pos += ln
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("backend", ["jax", "numpy"])
+def test_ragged_interior_frames_all_backends(backend):
+    """Partial interior frames decode identically on every backend (the
+    native path is the byte-exact baseline; jax/numpy take the ragged
+    concat branch in codec._assemble)."""
+    data = _ragged_stream([400, 300, 500])
+    want = codec.decode_all(data, backend="native").samples
+    got = codec.decode_all(data, backend=backend).samples
+    assert np.array_equal(got, want)
+    assert len(want) == 1200
+
+
+def test_oversized_tail_rejected_by_fast_parser():
+    """A tail frame LONGER than the uniform interior frames breaks the
+    uniform-stride indexing: the O(1) parser must hand off to the general
+    walk, which decodes it correctly."""
+    data = _ragged_stream([100, 400])
+    assert bs.parse_file_arrays(data) is None
+    out = codec.decode_all(data)
+    assert out.samples_per_channel == 500
+    # differential vs the scalar-oracle path
+    want = codec.decode_all(data, backend="numpy").samples
+    assert np.array_equal(out.samples, want)
+
+
+def test_open_and_decode_all(tmp_path, fixture_bytes):
+    p = tmp_path / "f.qoa"
+    p.write_bytes(fixture_bytes)
+    out = codec.open_and_decode_all(str(p))
+    assert out.samples_per_channel == 2_394_122 and out.num_channels == 2
+
+
+def test_decode_range_validates_bounds(fixture_bytes):
+    with pytest.raises(ValueError):
+        codec.decode_range(fixture_bytes, -1, 10)
+    with pytest.raises(ValueError):
+        codec.decode_range(fixture_bytes, 10, 5)
+
+
+def test_encode_all_numpy_backend_and_unknown_backend():
+    pcm = make_sine(100, 1)
+    desc = QoaDesc(1, 44100, 100)
+    want = codec.encode_all(pcm, desc, backend="jax")
+    assert codec.encode_all(pcm, desc, backend="numpy") == want
+    with pytest.raises(ValueError, match="unknown backend"):
+        codec.encode_all(pcm, desc, backend="torch")
+    with pytest.raises(ValueError, match="unknown backend"):
+        codec.decode_all(want, backend="torch")
+
+
+def test_encode_all_native_unavailable_raises(monkeypatch):
+    monkeypatch.setattr(native, "available", lambda: False)
+    with pytest.raises(RuntimeError, match="native engine unavailable"):
+        codec.encode_all(make_sine(40, 1), QoaDesc(1, 44100, 40),
+                         backend="native")
+
+
+def test_seek_preconditions():
+    from qoaudio_tpu.errors import IoError, NoSamples
+
+    # non-seekable source: a growable streaming buffer
+    dec = QoaDecoder.new_streaming()
+    with pytest.raises(IoError):
+        dec.seek_to_frame(0)
+
+    # a fixed-mode header promising samples but carrying no frame is not
+    # even constructible (the reference reads the first frame header in
+    # new(), src/lib.rs:162)
+    with pytest.raises(NoSamples):
+        QoaDecoder(fmt.pack_file_header(100))
+
+
+def test_next_frame_returns_partial_drain_with_current_header():
+    """Samples already drained by the item iterator belong to the current
+    frame: next_frame() returns the REMAINDER under the current header."""
+    data = _ragged_stream([400, 300])
+    dec = QoaDecoder(data)
+    it = iter(dec)
+    seen = []
+    while len(seen) < 10:
+        item = next(it)
+        if not isinstance(item, FrameHeader):
+            seen.append(item)
+    hdr, rest = dec.next_frame()
+    assert hdr.num_samples_per_channel == 400
+    assert len(rest) == 390
+    want = codec.decode_all(data).samples
+    assert np.array_equal(np.concatenate([seen, rest]), want[:400])
+    hdr2, block2 = dec.next_frame()
+    assert hdr2.num_samples_per_channel == 300 and len(block2) == 300
+    assert dec.next_frame() is None
+
+
+def test_parsed_qoa_streaming_property():
+    parsed = bs.parse_file(fmt.pack_file_header(0))
+    assert parsed.streaming
+    parsed2 = bs.parse_file(
+        codec.encode_all(make_sine(40, 1), QoaDesc(1, 44100, 40))
+    )
+    assert not parsed2.streaming
