@@ -147,3 +147,37 @@ def test_header_total_vs_actual_frames():
     lying = fmt.pack_file_header(999999) + data[8:]
     out = codec.decode_all(lying, backend="native")
     assert len(out.samples) == 777
+
+
+def test_build_degrades_gracefully_without_toolchain(monkeypatch):
+    """No compiler (or a hung one) must mean _build -> None with no torn
+    temp files left behind — available() then reports False instead of
+    raising (the numpy/jax paths take over)."""
+    import glob
+    import subprocess as sp
+
+    from qoaudio_tpu import native as nat
+
+    def no_gxx(cmd, **kw):
+        raise OSError("g++ not found")
+
+    monkeypatch.setattr(nat.subprocess, "run", no_gxx)
+    assert nat._build(force=True) is None
+    assert not glob.glob(nat._LIB_PATH + ".*.tmp")
+
+    def hung(cmd, **kw):
+        raise sp.TimeoutExpired(cmd, 1)
+
+    monkeypatch.setattr(nat.subprocess, "run", hung)
+    assert nat._build(force=True) is None
+    assert not glob.glob(nat._LIB_PATH + ".*.tmp")
+
+    def bad_compile(cmd, **kw):
+        class R:
+            returncode = 1
+            stderr = b"boom"
+        return R()
+
+    monkeypatch.setattr(nat.subprocess, "run", bad_compile)
+    assert nat._build(force=True) is None
+    assert not glob.glob(nat._LIB_PATH + ".*.tmp")

@@ -446,3 +446,42 @@ def test_batch_corpus_partial_fallback_keeps_batching():
             QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
         )
         assert g == want
+
+
+def test_batch_apis_empty_and_invalid_inputs():
+    """Empty corpora return []; a PCM/desc size mismatch is the encoder's
+    InvalidSamples, raised before any device work."""
+    import pytest
+
+    from qoaudio_tpu.errors import InvalidSamples
+    from qoaudio_tpu.parallel import batch_decode, batch_encode, batch_transcode
+
+    assert batch_encode([]) == []
+    assert batch_decode([]) == []
+    assert batch_transcode([]) == []
+    with pytest.raises(InvalidSamples):
+        batch_encode([(make_noise(99, 1, seed=3), QoaDesc(1, 44100, 100))])
+
+
+def test_batch_apis_no_jax_backend_host_fallback(monkeypatch):
+    """With no usable jax platform the corpus APIs still deliver the same
+    bit-exact streams through the host engine, file by file."""
+    from qoaudio_tpu.parallel import corpus as corpus_mod
+    from qoaudio_tpu.parallel import batch_decode, batch_encode, batch_transcode
+
+    files = [
+        (make_noise(333, 2, seed=11), QoaDesc(2, 44100, 333)),
+        (make_noise(101, 1, seed=12), QoaDesc(1, 22050, 101)),
+    ]
+    want_streams = batch_encode(files)
+    want_pcm = [o.samples for o in batch_decode(want_streams)]
+    want_transcode = batch_transcode(want_streams)
+
+    monkeypatch.setattr(corpus_mod, "_jax_platform", lambda: None)
+    got_streams = batch_encode(files)
+    assert got_streams == want_streams
+    got = batch_decode(want_streams)
+    assert all(
+        np.array_equal(a.samples, b) for a, b in zip(got, want_pcm)
+    )
+    assert batch_transcode(want_streams) == want_transcode
