@@ -312,3 +312,19 @@ def test_parsed_qoa_streaming_property():
         codec.encode_all(make_sine(40, 1), QoaDesc(1, 44100, 40))
     )
     assert not parsed2.streaming
+
+
+def test_failed_seek_is_typed_and_lossless():
+    """seek_to_frame verifies the landing bytes against the expected
+    header; on a stream with non-uniform interior frames
+    (src/lib.rs:54-57 makes those legal) it raises IoError and restores
+    the reader — the decoder keeps iterating with nothing lost."""
+    from qoaudio_tpu.errors import IoError
+
+    data = _ragged_stream([400, 300, 500])
+    dec = QoaDecoder(data)
+    with pytest.raises(IoError, match="non-uniform"):
+        dec.seek_to_frame(1)
+    out = dec.decode_pending()
+    want = codec.decode_all(data).samples
+    assert np.array_equal(out, want)
