@@ -181,3 +181,21 @@ def test_build_degrades_gracefully_without_toolchain(monkeypatch):
     monkeypatch.setattr(nat.subprocess, "run", bad_compile)
     assert nat._build(force=True) is None
     assert not glob.glob(nat._LIB_PATH + ".*.tmp")
+
+
+def test_stale_library_without_symbols_degrades(monkeypatch, tmp_path):
+    """A leftover .so from an older package version (newer mtime, missing
+    the current symbols) must force one rebuild and then degrade to
+    available() == False — never raise out of the loader.  All loader
+    globals are monkeypatched, so the real engine is untouched."""
+    from qoaudio_tpu import native as nat
+
+    src = tmp_path / "dummy.cpp"
+    src.write_text('extern "C" int qoa_nothing(void) { return 0; }\n')
+    monkeypatch.setattr(nat, "_SRC", str(src))
+    monkeypatch.setattr(nat, "_LIB_PATH", str(tmp_path / "dummy.so"))
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_build_failed", False)
+    assert nat._load() is None  # builds, binds fail, rebuilds, gives up
+    assert nat._build_failed is True
+    assert nat.available() is False  # and the verdict is cached
