@@ -7,9 +7,11 @@ files on the CPU-forced suite: ops/pallas_* (TPU-gated tests),
 utils/timing.py (bench-only), parallel/mesh.py mostly (exercised in the
 uninstrumented 8-device subprocess dryrun).
 
-Round-4 sweep results: 78.6% -> 81.8% total after the gap-driven test
-additions (test_error_paths.py and friends), which also surfaced a real
-bug (the play command's format handling at segment boundaries).
+Round-4 sweep results: 78.6% -> 81.8% -> 84.2% total after two rounds of
+gap-driven test additions (test_error_paths.py, test_edge_coverage.py);
+the first round also surfaced a real bug (the play command's format
+handling at segment boundaries).  At 84.2% the remaining gaps are the
+expected-zero files above plus TPU-only corpus branches.
 Usage: python experiments/line_coverage.py
 """
 import os
