@@ -50,7 +50,9 @@ BENCH_FRAMES = 16  # frames per stream in the HBM-resident working set
 # below one triggers one spaced retry of the whole host section and the
 # per-metric best of the two runs is reported.
 HOST_FLOORS = {
-    "decode_e2e_msps": 230.0,
+    # decode floor raised after the register-resident fused decode kernel
+    # (experiments/cpp_decode_fused.py): best known idle 589 Msps
+    "decode_e2e_msps": 470.0,
     "decode_stream_msps": 235.0,
     "encode_single_file_e2e_msps": 64.0,
 }
