@@ -53,7 +53,7 @@ HOST_FLOORS = {
     # decode floor raised after the register-resident fused decode kernel
     # (experiments/cpp_decode_fused.py): best known idle 589 Msps
     "decode_e2e_msps": 470.0,
-    "decode_stream_msps": 235.0,
+    "decode_stream_msps": 380.0,
     "encode_single_file_e2e_msps": 64.0,
 }
 
