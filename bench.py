@@ -50,11 +50,14 @@ BENCH_FRAMES = 16  # frames per stream in the HBM-resident working set
 # below one triggers one spaced retry of the whole host section and the
 # per-metric best of the two runs is reported.
 HOST_FLOORS = {
-    # decode floor raised after the register-resident fused decode kernel
-    # (experiments/cpp_decode_fused.py): best known idle 589 Msps
-    "decode_e2e_msps": 470.0,
-    "decode_stream_msps": 380.0,
-    "encode_single_file_e2e_msps": 64.0,
+    # decode floors raised after the register-resident fused decode kernel
+    # (experiments/cpp_decode_fused.py).  NOTE: floors are 0.8x the best
+    # known-idle capture IN THE BENCH PROCESS — with jax/TPU loaded the
+    # same binary runs ~10-15% slower than a bare-python host measurement
+    # (decode_all ~435-440 in-bench vs ~495-590 standalone).
+    "decode_e2e_msps": 590.0,
+    "decode_stream_msps": 450.0,
+    "encode_single_file_e2e_msps": 70.0,
 }
 
 

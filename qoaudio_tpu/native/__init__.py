@@ -28,8 +28,33 @@ _LIB_PATH = os.path.join(_HERE, "qoa_kernels.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_allocator_tuned = False
 
 _SLICE_LEN = 20
+
+
+def _tune_allocator() -> None:
+    """Keep large numpy buffers on the heap instead of per-call mmap.
+
+    glibc serves >=128 KB allocations via mmap and unmaps them on free, so
+    every one-shot decode/encode call pays soft page faults re-touching its
+    ~10-20 MB of staging/output buffers.  Raising M_MMAP_THRESHOLD and
+    M_TRIM_THRESHOLD once per process lets the heap recycle those buffers
+    fault-free — measured 1.16-1.59x on the host-tier e2e paths (decode_all
+    9.7 -> 6.1 ms at the fixture; see CLAUDE.md).  Process-global by
+    nature, so: applied only when the native engine is actually used,
+    ``QOA_NO_MALLOPT=1`` opts out, and non-glibc platforms skip silently.
+    """
+    global _allocator_tuned
+    if _allocator_tuned or os.environ.get("QOA_NO_MALLOPT"):
+        return
+    _allocator_tuned = True
+    try:
+        libc = ctypes.CDLL(None)
+        libc.mallopt(-3, 1 << 26)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 26)  # M_TRIM_THRESHOLD
+    except (OSError, AttributeError):
+        pass
 
 
 def _build(force: bool = False) -> Optional[str]:
@@ -87,6 +112,7 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
+        _tune_allocator()
         path = _build()
         if path is None:
             _build_failed = True

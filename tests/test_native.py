@@ -199,3 +199,73 @@ def test_stale_library_without_symbols_degrades(monkeypatch, tmp_path):
     assert nat._load() is None  # builds, binds fail, rebuilds, gives up
     assert nat._build_failed is True
     assert nat.available() is False  # and the verdict is cached
+
+
+def test_fused_decode_dispatch_boundary_matches_oracle():
+    """Adversarial random-word streams with chain counts straddling the
+    fused AVX-512 decode kernel's 32-chain dispatch boundary (narrow
+    plane-path groups, exactly one block, ragged 1/8/31-column tails,
+    multiple blocks) must reproduce the scalar oracle bit-for-bit,
+    including weight-wrap regimes (reference wrapping decode,
+    src/lib.rs:291-330)."""
+    from qoaudio_tpu import bitstream as bs
+
+    rng = np.random.default_rng(23)
+    spc = 120  # 6 windows/frame keeps the oracle cheap
+    nw = spc // 20
+    # (frames, channels): N = F*C = 31, 32, 33, 34, 40, 45, 64, 96
+    for F, C in [(31, 1), (32, 1), (33, 1), (17, 2), (20, 2), (45, 1),
+                 (16, 4), (48, 2)]:
+        frames = []
+        for _ in range(F):
+            words = rng.integers(
+                0, 1 << 63, size=(nw, C), dtype=np.int64
+            ).astype(np.uint64) | (
+                rng.integers(0, 16, size=(nw, C), dtype=np.uint64)
+                << np.uint64(60)
+            )
+            hist = rng.integers(-32768, 32768, (C, 4)).astype(np.int32)
+            wts = rng.choice(
+                np.array([-32768, -16384, 16383, 32767], np.int32),
+                size=(C, 4),
+            )
+            frames.append(
+                bs.build_frame_bytes(C, 44100, spc, hist, wts, words)
+            )
+        data = fmt.pack_file_header(spc * F) + b"".join(frames)
+        _, _, want = ref.decode_all_py(data)
+        out = codec.decode_all(data, backend="native")
+        assert np.array_equal(
+            out.samples, np.asarray(want, np.int16)
+        ), (F, C)
+
+
+def test_allocator_tuning_applied_and_optout():
+    """Loading the native engine tunes the allocator once (process-global
+    mallopt); QOA_NO_MALLOPT=1 skips it while the engine still works."""
+    import os
+    import subprocess
+    import sys
+
+    # this suite has already loaded the engine without the opt-out
+    assert native._allocator_tuned is True
+
+    env = dict(os.environ, QOA_NO_MALLOPT="1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from qoaudio_tpu import native; assert native.available(); "
+            "assert native._allocator_tuned is False; "
+            "import numpy as np; "
+            "w = np.zeros((3, 40), np.uint64); "
+            "s = np.zeros((8, 40), np.int32); "
+            "assert native.decode_chains(w, s).shape == (3, 20, 40)",
+        ],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr.decode()
