@@ -55,9 +55,12 @@ HOST_FLOORS = {
     # known-idle capture IN THE BENCH PROCESS — with jax/TPU loaded the
     # same binary runs ~10-15% slower than a bare-python host measurement
     # (decode_all ~435-440 in-bench vs ~495-590 standalone).
-    "decode_e2e_msps": 590.0,
-    "decode_stream_msps": 450.0,
-    "encode_single_file_e2e_msps": 70.0,
+    # decode floors re-raised after the fused decode->interleaved kernel
+    # (experiments/cpp_decode_interleaved.py): in-bench idle best 1480.5 /
+    # 751.7 / 93.6 Msps
+    "decode_e2e_msps": 1150.0,
+    "decode_stream_msps": 580.0,
+    "encode_single_file_e2e_msps": 72.0,
 }
 
 
@@ -113,7 +116,8 @@ def bench_host_paths(data, pcm, channels, spc):
     # per stage so future host work targets the dominant term
     from qoaudio_tpu import bitstream as qbs
 
-    t_parse = t_kernel = t_inter = float("inf")
+    t_parse = t_kernel = t_inter = t_fused = float("inf")
+    fused = native.has_fused_interleaved()
     for _ in range(3):
         with Stopwatch() as sw:
             pa = qbs.parse_file_arrays(data)
@@ -126,9 +130,15 @@ def bench_host_paths(data, pcm, channels, spc):
                 dec, pa.n_frames, pa.channels, int(pa.samples_per_frame.sum())
             )
         t_inter = min(t_inter, sw.elapsed)
+        if fused and pa.channels == 2:
+            with Stopwatch() as sw:
+                native.decode_interleaved_stereo(pa.words_be, pa.state)
+            t_fused = min(t_fused, sw.elapsed)
     log(
         f"decode attribution: parse {t_parse*1e3:.1f} ms, kernel "
         f"{t_kernel*1e3:.1f} ms, interleave {t_inter*1e3:.1f} ms"
+        + (f", fused kernel+interleave {t_fused*1e3:.1f} ms"
+           if t_fused < float("inf") else "")
     )
 
     # streaming-iterator path (batched readahead + the slab bulk parse;

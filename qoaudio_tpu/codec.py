@@ -147,22 +147,34 @@ def _decode_all_native(data: bytes) -> DecodedQoa:
         batch = bs.stack_frames(parsed.frames)
         F, C = batch.n_frames, batch.channels
         words_be, state = bs.batch_chain_arrays(batch)
-        dec = native.decode_chains(words_be, state)
         spf = batch.samples_per_frame
         rate = batch.sample_rate
     else:
         F = pa.n_frames
         C = pa.channels
-        dec = native.decode_chains(pa.words_be, pa.state)
+        words_be, state = pa.words_be, pa.state
         spf = pa.samples_per_frame
         rate = pa.sample_rate
 
-    W20 = dec.shape[0] * fmt.QOA_SLICE_LEN
-    if bool(np.all(spf[:-1] == W20)):
+    W20 = words_be.shape[0] * fmt.QOA_SLICE_LEN
+    aligned = bool(np.all(spf[:-1] == W20))
+    if C == 2 and native.has_fused_interleaved():
+        # fused decode->interleaved: no (W, 20, N) intermediate round trip
+        full = native.decode_interleaved_stereo(words_be, state)
+        if aligned:
+            samples = full[: int(spf.sum())].reshape(-1)
+        else:
+            pcm = full.reshape(F, W20, C)
+            samples = np.concatenate(
+                [pcm[i, : spf[i]] for i in range(F)]
+            ).reshape(-1)
+    elif aligned:
         # uniform-except-last: transpose + trim fused in native code
+        dec = native.decode_chains(words_be, state)
         total = int(spf.sum())
         samples = native.interleave_trim(dec, F, C, total).reshape(-1)
     else:
+        dec = native.decode_chains(words_be, state)
         pcm = native.interleave_trim(dec, F, C, F * W20).reshape(F, W20, C)
         samples = np.concatenate(
             [pcm[i, : spf[i]] for i in range(F)]
@@ -231,20 +243,23 @@ def decode_range(
 
     words = np.ascontiguousarray(pa.words_be[:, f0 * C : f1 * C])
     st = np.ascontiguousarray(pa.state[:, f0 * C : f1 * C])
-    dec = native.decode_chains(words, st)
     W20 = pa.max_windows * fmt.QOA_SLICE_LEN
-    if spc0 == W20 or f1 - f0 == 1:
-        # frames are window-aligned (or there is only one): interleave_trim's
-        # contiguous layout is exact
-        sub_total = int(pa.samples_per_frame[f0:f1].sum())
-        pcm = native.interleave_trim(dec, f1 - f0, C, sub_total)
+    nf = f1 - f0
+    if C == 2 and native.has_fused_interleaved():
+        full = native.decode_interleaved_stereo(words, st)
+    else:
+        dec = native.decode_chains(words, st)
+        full = native.interleave_trim(dec, nf, C, nf * W20)
+    if spc0 == W20 or nf == 1:
+        # frames are window-aligned (or there is only one): the untrimmed
+        # layout is contiguous-exact; slice off the short-tail pad rows
+        pcm = full[: int(pa.samples_per_frame[f0:f1].sum())]
     else:
         # short final window inside non-final frames (spc0 % 20 != 0):
-        # interleave the padded layout, then drop each frame's pad rows
-        full = native.interleave_trim(dec, f1 - f0, C, (f1 - f0) * W20)
-        full = full.reshape(f1 - f0, W20, C)
+        # drop each frame's pad rows from the padded layout
+        full = full.reshape(nf, W20, C)
         pcm = np.concatenate(
-            [full[i, : int(pa.samples_per_frame[f0 + i])] for i in range(f1 - f0)]
+            [full[i, : int(pa.samples_per_frame[f0 + i])] for i in range(nf)]
         )
     lo = start - f0 * spc0
     hi = lo + (end - start)

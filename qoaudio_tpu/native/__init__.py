@@ -144,6 +144,12 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.qoa_decode_chains.restype = None
             lib.qoa_interleave.argtypes = [p_i16, i64, i64, i64, i64, p_i16]
             lib.qoa_interleave.restype = None
+            lib.qoa_decode_interleaved_stereo.argtypes = [
+                p_u64, p_i32, i64, i64, p_i16,
+            ]
+            lib.qoa_decode_interleaved_stereo.restype = None
+            lib.qoa_has_fused_interleaved.argtypes = []
+            lib.qoa_has_fused_interleaved.restype = i64
             lib.qoa_encode_windows.argtypes = [
                 p_i16, p_i32, i64, i64, p_i32, p_u64,
             ]
@@ -210,6 +216,32 @@ def decode_chains(words_be: np.ndarray, state: np.ndarray) -> np.ndarray:
     state = np.ascontiguousarray(state, dtype=np.int32)
     out = np.empty((W, _SLICE_LEN, N), dtype=np.int16)
     lib.qoa_decode_chains(words_be, state, W, N, out)
+    return out
+
+
+def has_fused_interleaved() -> bool:
+    """True when the build tier fuses decode+interleave (AVX-512)."""
+    lib = _load()
+    return lib is not None and bool(lib.qoa_has_fused_interleaved())
+
+
+def decode_interleaved_stereo(
+    words_be: np.ndarray, state: np.ndarray
+) -> np.ndarray:
+    """Fused decode + interleave of N = 2F stereo chains.
+
+    Returns (F*W*20, 2) int16 — frame f's FULL untrimmed samples at rows
+    f*W*20..(f+1)*W*20, byte-identical to
+    ``interleave_trim(decode_chains(words_be, state), F, 2, F*W*20)`` but
+    without the (W, 20, N) intermediate's DRAM round trip (1.9-2.2x at
+    typical file shapes).  Callers slice each frame's valid samples.
+    """
+    lib = _load()
+    W, N = words_be.shape
+    words_be = np.ascontiguousarray(words_be, dtype=np.uint64)
+    state = np.ascontiguousarray(state, dtype=np.int32)
+    out = np.empty(((N // 2) * W * _SLICE_LEN, 2), dtype=np.int16)
+    lib.qoa_decode_interleaved_stereo(words_be, state, W, N, out)
     return out
 
 

@@ -282,6 +282,109 @@ static void decode_fused_block32(const uint64_t* words_be, const int32_t* st,
 #undef QOA_DSTEP
   }
 }
+
+// ---------------------------------------------------------------------------
+// Fused decode -> interleaved stereo PCM.
+//
+// The two-pass pair (decode_chains into a (W, 20, N) intermediate, then
+// transpose_trim) writes + re-reads ~2x the PCM purely to relayout
+// chain-major samples into frame-major interleaved PCM; at typical file
+// sizes that round trip is DRAM-bound and costs about as much as the
+// decode itself.  Here each 32-chain block instead stores its 20 per-step
+// int16 vectors to a 20x32 L1 stack tile; after each window an in-register
+// 16-lane u32 transpose (one STEREO sample pair = one u32 column) turns
+// the tile into 16 frame rows of 40 int16 stored straight to their final
+// interleaved positions.  Measured 1.9-2.2x the pair at the fixture shape
+// (experiments/cpp_decode_interleaved.py), bit-exact vs the pair on
+// fixture + adversarial random-word streams.
+// ---------------------------------------------------------------------------
+
+// Transpose a 20x16 u32 tile (20 sample steps x 16 stereo frame columns)
+// to 16 frame rows of 20 u32, each stored at dst[col].  Rows 0..15 go
+// through a 16x16 unpack/permute network (the unpack32/unpack64/
+// shuffle128 stage order lands lanes in IDENTITY column order —
+// pattern-verified); rows 16..19 transpose as a 4x16 block appended per
+// frame row.
+__attribute__((always_inline)) inline void tile_store_stereo(
+    const uint32_t* tile /* [20][16] */, int16_t* const* dst /* [16] */) {
+  __m512i r[16];
+  for (int i = 0; i < 16; ++i)
+    r[i] = _mm512_loadu_si512((const void*)(tile + i * 16));
+  __m512i a[16];
+  for (int i = 0; i < 8; ++i) {
+    a[2 * i] = _mm512_unpacklo_epi32(r[2 * i], r[2 * i + 1]);
+    a[2 * i + 1] = _mm512_unpackhi_epi32(r[2 * i], r[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    r[4 * i + 0] = _mm512_unpacklo_epi64(a[4 * i + 0], a[4 * i + 2]);
+    r[4 * i + 1] = _mm512_unpackhi_epi64(a[4 * i + 0], a[4 * i + 2]);
+    r[4 * i + 2] = _mm512_unpacklo_epi64(a[4 * i + 1], a[4 * i + 3]);
+    r[4 * i + 3] = _mm512_unpackhi_epi64(a[4 * i + 1], a[4 * i + 3]);
+  }
+  for (int i = 0; i < 2; ++i)
+    for (int j = 0; j < 4; ++j) {
+      a[8 * i + j] = _mm512_shuffle_i32x4(r[8 * i + j], r[8 * i + j + 4],
+                                          0x88);
+      a[8 * i + j + 4] = _mm512_shuffle_i32x4(r[8 * i + j],
+                                              r[8 * i + j + 4], 0xdd);
+    }
+  for (int j = 0; j < 8; ++j) {
+    r[j] = _mm512_shuffle_i32x4(a[j], a[j + 8], 0x88);
+    r[j + 8] = _mm512_shuffle_i32x4(a[j], a[j + 8], 0xdd);
+  }
+  // rows 16..19: gather each column's tail 4 u32 into segs[col & 3] at
+  // offset (col >> 2) * 4 via two unpack stages
+  const __m512i t16 = _mm512_loadu_si512((const void*)(tile + 16 * 16));
+  const __m512i t17 = _mm512_loadu_si512((const void*)(tile + 17 * 16));
+  const __m512i t18 = _mm512_loadu_si512((const void*)(tile + 18 * 16));
+  const __m512i t19 = _mm512_loadu_si512((const void*)(tile + 19 * 16));
+  const __m512i u0 = _mm512_unpacklo_epi32(t16, t17);
+  const __m512i u1 = _mm512_unpackhi_epi32(t16, t17);
+  const __m512i v0 = _mm512_unpacklo_epi32(t18, t19);
+  const __m512i v1 = _mm512_unpackhi_epi32(t18, t19);
+  alignas(64) uint32_t segs[4][16];
+  _mm512_store_si512((void*)segs[0], _mm512_unpacklo_epi64(u0, v0));
+  _mm512_store_si512((void*)segs[1], _mm512_unpackhi_epi64(u0, v0));
+  _mm512_store_si512((void*)segs[2], _mm512_unpacklo_epi64(u1, v1));
+  _mm512_store_si512((void*)segs[3], _mm512_unpackhi_epi64(u1, v1));
+  for (int col = 0; col < 16; ++col) {
+    int16_t* o = dst[col];
+    _mm512_storeu_si512((void*)o, r[col]);
+    _mm_storeu_si128((__m128i*)(o + 32),
+                     _mm_loadu_si128((const __m128i*)(
+                         segs[col & 3] + (col >> 2) * 4)));
+  }
+}
+
+// One 32-chain block (columns g..g+31, i.e. stereo frames f_base..+15)
+// across all W windows, stored interleaved: frame f's window w lands at
+// out + f * frame_stride + w * 40 (frame_stride in int16 elements).
+static void decode_interleaved_block32_stereo(
+    const uint64_t* words_be, const int32_t* st, int64_t W, int64_t N,
+    int64_t g, int64_t frame_stride, int64_t f_base, int16_t* out) {
+  alignas(64) int16_t tile[20 * 32];
+  DecGroup A, B;
+  dec_load_state(A, st, N, g);
+  dec_load_state(B, st, N, g + 16);
+  for (int64_t w = 0; w < W; ++w) {
+    const uint64_t* row = words_be + w * N + g;
+    dec_load_window(A, row);
+    dec_load_window(B, row + 16);
+#define QOA_DSTEP(K)                      \
+  dec_step<K>(A, tile + (int64_t)K * 32); \
+  dec_step<K>(B, tile + (int64_t)K * 32 + 16)
+    QOA_DSTEP(0); QOA_DSTEP(1); QOA_DSTEP(2); QOA_DSTEP(3); QOA_DSTEP(4);
+    QOA_DSTEP(5); QOA_DSTEP(6); QOA_DSTEP(7); QOA_DSTEP(8); QOA_DSTEP(9);
+    QOA_DSTEP(10); QOA_DSTEP(11); QOA_DSTEP(12); QOA_DSTEP(13);
+    QOA_DSTEP(14); QOA_DSTEP(15); QOA_DSTEP(16); QOA_DSTEP(17);
+    QOA_DSTEP(18); QOA_DSTEP(19);
+#undef QOA_DSTEP
+    int16_t* dst[16];
+    for (int j = 0; j < 16; ++j)
+      dst[j] = out + (f_base + j) * frame_stride + w * (2 * kSliceLen);
+    tile_store_stereo(reinterpret_cast<const uint32_t*>(tile), dst);
+  }
+}
 #endif  // QOA_FUSED_DECODE
 
 // ---------------------------------------------------------------------------
@@ -489,6 +592,66 @@ void qoa_interleave(const int16_t* in, int64_t W, int64_t F, int64_t C,
     default:
       transpose_trim_generic(in, rows, F, C, total, out);
   }
+}
+
+// ---------------------------------------------------------------------------
+// Fused decode + interleave for stereo streams (C == 2, N = 2F chains).
+//
+//   out: (F * W * 20, 2) int16 — frame f's FULL untrimmed samples at rows
+//        f*W*20 .. (f+1)*W*20; identical layout/content to
+//        qoa_interleave(qoa_decode_chains(...), W, F, 2, F*W*20, out).
+//        Callers slice each frame's valid sample count (short tail frame,
+//        non-window-aligned uniform spc) exactly as with the pair.
+//
+// AVX-512 builds run the register-resident fused path (1.9-2.2x the
+// pair — see decode_interleaved_block32_stereo above); ragged tails
+// (N % 32) pad into a scratch block whose valid frame rows memcpy out
+// contiguously.  Non-AVX-512 build tiers and narrow N compose the pair
+// internally so the symbol contract is uniform (the Python wrapper
+// prefers the pair path there — qoa_has_fused_interleaved gates it).
+// ---------------------------------------------------------------------------
+void qoa_decode_interleaved_stereo(const uint64_t* words_be,
+                                   const int32_t* state, int64_t W, int64_t N,
+                                   int16_t* out) {
+  const int64_t stride = W * kSliceLen * 2;  // int16 elements per frame
+#ifdef QOA_FUSED_DECODE
+  if (N >= 32) {
+    const int64_t Nb = N & ~int64_t{31};
+    for (int64_t g = 0; g < Nb; g += 32)
+      decode_interleaved_block32_stereo(words_be, state, W, N, g, stride,
+                                        g / 2, out);
+    const int64_t t = N - Nb;  // even: N = 2F
+    if (t) {
+      uint64_t* wtail = new uint64_t[W * 32]();
+      int32_t sttail[8 * 32] = {};
+      int16_t* otail = new int16_t[16 * stride];
+      for (int64_t w = 0; w < W; ++w)
+        std::memcpy(wtail + w * 32, words_be + w * N + Nb,
+                    sizeof(uint64_t) * t);
+      for (int r = 0; r < 8; ++r)
+        std::memcpy(sttail + r * 32, state + r * N + Nb, sizeof(int32_t) * t);
+      decode_interleaved_block32_stereo(wtail, sttail, W, 32, 0, stride, 0,
+                                        otail);
+      std::memcpy(out + (Nb / 2) * stride, otail,
+                  sizeof(int16_t) * (t / 2) * stride);
+      delete[] wtail;
+      delete[] otail;
+    }
+    return;
+  }
+#endif
+  int16_t* tmp = new int16_t[W * kSliceLen * N];
+  qoa_decode_chains(words_be, state, W, N, tmp);
+  qoa_interleave(tmp, W, N / 2, 2, (N / 2) * W * kSliceLen, out);
+  delete[] tmp;
+}
+
+int64_t qoa_has_fused_interleaved(void) {
+#ifdef QOA_FUSED_DECODE
+  return 1;
+#else
+  return 0;
+#endif
 }
 
 // ---------------------------------------------------------------------------

@@ -435,8 +435,13 @@ class QoaDecoder:
                 words_be[: rec.n_windows, cols] = rec.slice_words.byteswap()
                 st[0:4, cols] = rec.lms_history.T
                 st[4:8, cols] = rec.lms_weights.T
-            dec = native.decode_chains(words_be, st)
-            pcm = native.interleave_trim(dec, F, C, F * Wn * fmt.QOA_SLICE_LEN)
+            if C == 2 and native.has_fused_interleaved():
+                pcm = native.decode_interleaved_stereo(words_be, st)
+            else:
+                dec = native.decode_chains(words_be, st)
+                pcm = native.interleave_trim(
+                    dec, F, C, F * Wn * fmt.QOA_SLICE_LEN
+                )
             pcm = pcm.reshape(F, Wn * fmt.QOA_SLICE_LEN, C)
         elif self._backend == "jax":
             from .codec import _next_pow2
@@ -577,7 +582,6 @@ class QoaDecoder:
             raw[:, 1 + 2 * C :].reshape(m, nw, C).transpose(1, 0, 2)
         ).reshape(nw, m * C)
 
-        dec = native.decode_chains(words_be, state)
         # interleave at the full nw*20 row stride, then take each frame's
         # first spc rows (contiguous views, no copies).  This is exact for
         # BOTH window-aligned frames (spc == nw*20: the slice is the whole
@@ -585,9 +589,14 @@ class QoaDecoder:
         # the reference reads spc from every header, src/lib.rs:217-225 —
         # where the fused interleave+trim's single trailing trim would
         # corrupt every frame after the first)
-        full = native.interleave_trim(
-            dec, m, C, m * nw * fmt.QOA_SLICE_LEN
-        ).reshape(m, nw * fmt.QOA_SLICE_LEN, C)
+        if C == 2 and native.has_fused_interleaved():
+            full = native.decode_interleaved_stereo(words_be, state)
+        else:
+            dec = native.decode_chains(words_be, state)
+            full = native.interleave_trim(
+                dec, m, C, m * nw * fmt.QOA_SLICE_LEN
+            )
+        full = full.reshape(m, nw * fmt.QOA_SLICE_LEN, C)
         hdr = FrameHeader(C, self._mode.sample_rate, spc)
         items = [(hdr, full[i, :spc].reshape(-1), True) for i in range(m)]
         return items, None

@@ -303,6 +303,8 @@ extern "C" {
 void qoa_gather_frames() {}
 void qoa_decode_chains() {}
 void qoa_interleave() {}
+void qoa_decode_interleaved_stereo() {}
+long qoa_has_fused_interleaved() { return 0; }
 void qoa_encode_windows() {}
 void qoa_encode_file() {}
 }

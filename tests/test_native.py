@@ -240,6 +240,28 @@ def test_fused_decode_dispatch_boundary_matches_oracle():
         ), (F, C)
 
 
+def test_decode_interleaved_stereo_equals_pair():
+    """The fused decode->interleaved kernel must reproduce the
+    decode_chains + interleave_trim pair bit-for-bit on adversarial
+    random-word/random-state chains: the composed fallback (N < 32),
+    exact blocks, ragged 32-chain tails, and single-frame streams."""
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(7)
+    for W, F in [(1, 1), (7, 3), (2, 8), (5, 16), (9, 17), (3, 33), (40, 50)]:
+        N = 2 * F
+        words = rng.integers(0, 1 << 63, size=(W, N), dtype=np.int64).astype(
+            np.uint64
+        )
+        st = rng.integers(-32768, 32768, size=(8, N)).astype(np.int32)
+        want = native.interleave_trim(
+            native.decode_chains(words, st), F, 2, F * W * 20
+        )
+        got = native.decode_interleaved_stereo(words, st)
+        assert got.shape == (F * W * 20, 2)
+        assert np.array_equal(got, want), (W, F)
+
+
 def test_allocator_tuning_applied_and_optout():
     """Loading the native engine tunes the allocator once (process-global
     mallopt); QOA_NO_MALLOPT=1 skips it while the engine still works."""
