@@ -226,7 +226,7 @@ def has_fused_interleaved() -> bool:
 
 
 def decode_interleaved_stereo(
-    words_be: np.ndarray, state: np.ndarray
+    words_be: np.ndarray, state: np.ndarray, out: Optional[np.ndarray] = None
 ) -> np.ndarray:
     """Fused decode + interleave of N = 2F stereo chains.
 
@@ -235,12 +235,26 @@ def decode_interleaved_stereo(
     ``interleave_trim(decode_chains(words_be, state), F, 2, F*W*20)`` but
     without the (W, 20, N) intermediate's DRAM round trip (1.9-2.2x at
     typical file shapes).  Callers slice each frame's valid samples.
+
+    ``out``: optional destination, exactly (F*W*20, 2) C-contiguous int16
+    (e.g. a view into a larger drain buffer) — skips the allocation AND
+    the consumer's copy-out.
     """
     lib = _load()
     W, N = words_be.shape
     words_be = np.ascontiguousarray(words_be, dtype=np.uint64)
     state = np.ascontiguousarray(state, dtype=np.int32)
-    out = np.empty(((N // 2) * W * _SLICE_LEN, 2), dtype=np.int16)
+    need = (N // 2) * W * _SLICE_LEN
+    if out is None:
+        out = np.empty((need, 2), dtype=np.int16)
+    elif (
+        out.shape != (need, 2)
+        or out.dtype != np.int16
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        raise ValueError(
+            f"out must be C-contiguous int16 of shape ({need}, 2)"
+        )
     lib.qoa_decode_interleaved_stereo(words_be, state, W, N, out)
     return out
 

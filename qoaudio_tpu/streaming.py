@@ -532,12 +532,15 @@ class QoaDecoder:
         err, self._pending_error = self._pending_error, None
         return items, err
 
-    def _produce_slab(self):
-        """Bulk path of :meth:`_produce`; None = use the slow path."""
-        from . import native
+    def _parse_slab(self, want_frames: Optional[int] = None):
+        """Bulk-read + dense-parse the next run of uniform frames.
 
-        if not native.available():
-            return None
+        Returns (m, words_be, state, nw) for m >= 1 matched frames
+        (m <= ``want_frames``, default ``readahead``), or None
+        (non-uniform next frame / EOF / geometry mismatch — the
+        unconsumed bytes stay in ``_tail`` for the frame-at-a-time
+        reader).
+        """
         fs = self._first_frame_size
         spc = self._first_frame_samples
         C = self._mode.channels
@@ -547,8 +550,10 @@ class QoaDecoder:
             # declared size that disagrees breaks the slab stride — use
             # the spc-driven frame-at-a-time reader
             return None
+        if want_frames is None:
+            want_frames = self._readahead
         exp = fmt.pack_frame_header(C, self._mode.sample_rate, spc, fs)
-        want = self._readahead * fs
+        want = want_frames * fs
         data = self._tail
         self._tail = b""
         if len(data) < want:
@@ -561,6 +566,7 @@ class QoaDecoder:
             )[:, 0]
             eq = hdrs == np.uint64(exp)
             m = k if bool(eq.all()) else int(np.argmin(eq))
+            m = min(m, want_frames)  # a large carried _tail can exceed want
         if m == 0:
             self._tail = data
             return None
@@ -581,6 +587,20 @@ class QoaDecoder:
         words_be = np.ascontiguousarray(
             raw[:, 1 + 2 * C :].reshape(m, nw, C).transpose(1, 0, 2)
         ).reshape(nw, m * C)
+        return m, words_be, state, nw
+
+    def _produce_slab(self):
+        """Bulk path of :meth:`_produce`; None = use the slow path."""
+        from . import native
+
+        if not native.available():
+            return None
+        parsed = self._parse_slab()
+        if parsed is None:
+            return None
+        m, words_be, state, nw = parsed
+        C = self._mode.channels
+        spc = self._first_frame_samples
 
         # interleave at the full nw*20 row stride, then take each frame's
         # first spc rows (contiguous views, no copies).  This is exact for
@@ -600,6 +620,29 @@ class QoaDecoder:
         hdr = FrameHeader(C, self._mode.sample_rate, spc)
         items = [(hdr, full[i, :spc].reshape(-1), True) for i in range(m)]
         return items, None
+
+    def _produce_slab_into(self, dst: np.ndarray, want_frames: int) -> int:
+        """Decode the next slab straight into ``dst`` samples (no staging).
+
+        ``dst``: flat C-contiguous int16 with capacity for at least
+        ``want_frames`` full frames (any sample alignment — the kernel
+        only needs contiguity).  Caller guarantees the fused stereo engine
+        and window-aligned frames (spc == nw*20), so the kernel's uniform
+        frame stride IS the output stride.  Returns the number of frames
+        written (0 = no uniform slab here; fall back).
+        """
+        from . import native
+
+        parsed = self._parse_slab(want_frames)
+        if parsed is None:
+            return 0
+        m, words_be, state, nw = parsed
+        native.decode_interleaved_stereo(
+            words_be,
+            state,
+            out=dst[: m * nw * fmt.QOA_SLICE_LEN * 2].reshape(-1, 2),
+        )
+        return m
 
     def _take_prefetch(self):
         """Wait out any in-flight prefetch; return its (items, err) or None."""
@@ -740,6 +783,122 @@ class QoaDecoder:
         self._pending_idx = 0
         return hdr, block
 
+    def _bulk_drain(self) -> Optional[np.ndarray]:
+        """Zero-copy fast path of :meth:`decode_pending`.
+
+        For in-memory fixed-mode stereo sources on the fused native engine
+        with window-aligned frames, slabs decode STRAIGHT into one
+        preallocated output (the fused kernel's uniform frame stride IS
+        the output stride) — no per-frame staging blocks and no final
+        concatenate.  Exact same item semantics as the generic path: any
+        non-uniform stretch (truncated tail, mid-stream surprises) routes
+        through the ordinary queue machinery and its blocks copy in;
+        deferred errors are raised only when nothing was decodable.
+        Returns None when the preconditions don't hold.
+        """
+        from . import native
+
+        if (
+            self._dead
+            or self._backend != "native"
+            or not isinstance(self._mode, FixedSamples)
+            or self._mode.channels != 2
+            or self._prefetch_enabled
+            or self._prefetch_future is not None
+            or not isinstance(self._reader, io.BytesIO)
+            or not native.available()
+            or not native.has_fused_interleaved()
+        ):
+            return None
+        spc = self._first_frame_samples
+        fs = self._first_frame_size
+        nw = -(-spc // fmt.QOA_SLICE_LEN)
+        if spc != nw * fmt.QOA_SLICE_LEN or fs != fmt.qoa_frame_size(2, nw):
+            return None
+        # capacity estimate IN FLAT SAMPLES: staged samples + remaining
+        # bytes as uniform frames.  Exact for well-formed streams (interior
+        # frames larger than the first are format-illegal and error out
+        # before writing); the overflow list below keeps even hostile
+        # streams lossless.  The buffer is flat because a partially-drained
+        # iterator can leave an ODD _pending remainder (samples, not
+        # channel pairs) — only contiguity matters for the concatenation.
+        rem = (
+            self._reader.getbuffer().nbytes
+            - self._reader.tell()
+            + len(self._tail)
+        )
+        est = len(self._pending) - self._pending_idx
+        est += sum(b.size for _, b, _ in self._queue)
+        est += sum(2 * r.samples_per_channel for r, _ in self._records)
+        est += -(-rem // fs) * spc * 2
+        if est <= 0:
+            return None
+        out = np.empty(est, np.int16)
+        filled = 0
+        overflow: list = []
+
+        def put(block) -> None:
+            nonlocal filled
+            n = block.size
+            if overflow or filled + n > est:
+                overflow.append(np.asarray(block).reshape(-1))
+                return
+            out[filled : filled + n] = block.reshape(-1)
+            filled += n
+
+        if self._pending_idx < len(self._pending):
+            put(self._pending[self._pending_idx :])
+            self._pending_idx = len(self._pending)
+        self._returned_first_header = True
+        hdr_uniform = FrameHeader(2, self._mode.sample_rate, spc)
+        # drain already-parsed records (the eagerly-read first frame) as
+        # one group so the slab path engages immediately — otherwise
+        # _produce would top the batch up with readahead-1 frame-at-a-time
+        # reads before the first slab
+        if self._records and self._pending_error is None:
+            recs = list(self._records)
+            self._records.clear()
+            try:
+                for hdr, block, _ in self._decode_records(recs):
+                    self._current_header = hdr
+                    put(block)
+            except Exception as e:
+                self._pending_error = e
+        # the bulk batch size is independent of the iterator's readahead:
+        # ~128 frames amortizes the per-slab parse best while the slab
+        # stays cache-resident (measured sweep: 128 > 64 > 32 > 256)
+        bulk_batch = max(self._readahead, 128)
+        while not self._dead:
+            want = min(bulk_batch, (est - filled) // (spc * 2))
+            if (
+                want >= 1
+                and not overflow
+                and not self._queue
+                and not self._records
+                and self._pending_error is None
+            ):
+                m = self._produce_slab_into(out[filled:], want)
+                if m:
+                    filled += m * spc * 2
+                    self._current_header = hdr_uniform
+                    continue
+            self._fill_queue()
+            if not self._queue:
+                if (
+                    self._pending_error is not None
+                    and filled == 0
+                    and not overflow
+                ):
+                    self._raise_or_stop()
+                break
+            while self._queue:
+                hdr, block, _ = self._queue.popleft()
+                self._current_header = hdr
+                put(block)
+        if overflow:
+            return np.concatenate([out[:filled]] + overflow)
+        return out[:filled]
+
     def decode_pending(self) -> np.ndarray:
         """Drain everything currently decodable into one int16 array.
 
@@ -747,6 +906,9 @@ class QoaDecoder:
         src/lib.rs:641-651).  A deferred mid-stream error is raised only
         after all decodable samples have been returned.
         """
+        fast = self._bulk_drain()
+        if fast is not None:
+            return fast
         chunks = []
         if self._pending_idx < len(self._pending):
             chunks.append(self._pending[self._pending_idx :])

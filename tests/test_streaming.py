@@ -62,6 +62,39 @@ def test_iterating_through_whole_file(fixture_bytes):
     assert frame_headers_seen >= 3
 
 
+def test_bulk_drain_partial_iteration_bit_exact(fixture_bytes):
+    """decode_pending after partial per-item iteration: the bulk-drain
+    fast path starts from an ODD _pending remainder (flat samples, not
+    channel pairs) and the joined stream must equal decode_all exactly."""
+    want = codec.decode_all(fixture_bytes).samples
+    dec = QoaDecoder(fixture_bytes)
+    seen = []
+    for item in dec:
+        if not isinstance(item, FrameHeader):
+            seen.append(item)
+            if len(seen) == 7001:  # odd: splits a stereo sample pair
+                break
+    rest = dec.decode_pending()
+    joined = np.concatenate([np.asarray(seen, np.int16), rest])
+    assert np.array_equal(joined, want)
+
+
+def test_bulk_drain_truncated_stream_defers_error(fixture_bytes):
+    """A mid-stream truncation on the bulk-drain path: decode_pending
+    yields every decodable sample first, then the NEXT call raises the
+    typed error (same deferral as the generic path)."""
+    from qoaudio_tpu.errors import QoaError
+
+    cut = fixture_bytes[: len(fixture_bytes) // 2 + 137]
+    dec = QoaDecoder(cut)
+    got = dec.decode_pending()
+    assert len(got) > 0
+    want = codec.decode_all(fixture_bytes).samples
+    assert np.array_equal(got, want[: len(got)])
+    with pytest.raises(QoaError):
+        dec.decode_pending()
+
+
 def test_iterator_sample_values_match_decode_all():
     pcm = make_sine(100, 1)
     data = ref.encode_all_py(pcm, 1, 44100, 100)
@@ -427,6 +460,7 @@ def test_streaming_decoder_non_default_uniform_frames(frame_len):
     dec = QoaDecoder(data, readahead=4)
     slab_batches = 0
     orig = dec._produce_slab
+    orig_into = dec._produce_slab_into
 
     def spy():
         nonlocal slab_batches
@@ -435,11 +469,21 @@ def test_streaming_decoder_non_default_uniform_frames(frame_len):
             slab_batches += 1
         return out
 
+    def spy_into(dst, want_frames):
+        # the bulk-drain path (decode_pending on aligned in-memory stereo
+        # streams) decodes straight into the output instead
+        nonlocal slab_batches
+        m = orig_into(dst, want_frames)
+        if m:
+            slab_batches += 1
+        return m
+
     dec._produce_slab = spy
+    dec._produce_slab_into = spy_into
     got = dec.decode_pending()
     assert np.array_equal(got, want)
     if dec._backend == "native":
-        assert slab_batches >= 2  # the fast path actually ran, repeatedly
+        assert slab_batches >= 1  # a fast path actually ran
 
 
 @pytest.mark.parametrize("source", ["fixed", "streaming"])
