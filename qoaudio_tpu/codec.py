@@ -158,9 +158,9 @@ def _decode_all_native(data: bytes) -> DecodedQoa:
 
     W20 = words_be.shape[0] * fmt.QOA_SLICE_LEN
     aligned = bool(np.all(spf[:-1] == W20))
-    if C == 2 and native.has_fused_interleaved():
+    if C in (1, 2) and native.has_fused_interleaved():
         # fused decode->interleaved: no (W, 20, N) intermediate round trip
-        full = native.decode_interleaved_stereo(words_be, state)
+        full = native.decode_interleaved(words_be, state, C)
         if aligned:
             samples = full[: int(spf.sum())].reshape(-1)
         else:
@@ -245,8 +245,8 @@ def decode_range(
     st = np.ascontiguousarray(pa.state[:, f0 * C : f1 * C])
     W20 = pa.max_windows * fmt.QOA_SLICE_LEN
     nf = f1 - f0
-    if C == 2 and native.has_fused_interleaved():
-        full = native.decode_interleaved_stereo(words, st)
+    if C in (1, 2) and native.has_fused_interleaved():
+        full = native.decode_interleaved(words, st, C)
     else:
         dec = native.decode_chains(words, st)
         full = native.interleave_trim(dec, nf, C, nf * W20)

@@ -148,6 +148,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 p_u64, p_i32, i64, i64, p_i16,
             ]
             lib.qoa_decode_interleaved_stereo.restype = None
+            lib.qoa_decode_interleaved_mono.argtypes = [
+                p_u64, p_i32, i64, i64, p_i16,
+            ]
+            lib.qoa_decode_interleaved_mono.restype = None
             lib.qoa_has_fused_interleaved.argtypes = []
             lib.qoa_has_fused_interleaved.restype = i64
             lib.qoa_encode_windows.argtypes = [
@@ -223,6 +227,41 @@ def has_fused_interleaved() -> bool:
     """True when the build tier fuses decode+interleave (AVX-512)."""
     lib = _load()
     return lib is not None and bool(lib.qoa_has_fused_interleaved())
+
+
+def decode_interleaved(
+    words_be: np.ndarray,
+    state: np.ndarray,
+    C: int,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Fused decode + interleave for C in (1, 2): (F*W*20, C) int16.
+
+    Dispatches to the stereo or mono kernel; identical contract to
+    :func:`decode_interleaved_stereo` with F = N // C untrimmed frames at
+    a uniform W*20 row stride.
+    """
+    if C == 2:
+        return decode_interleaved_stereo(words_be, state, out=out)
+    if C != 1:
+        raise ValueError("fused interleave supports C in (1, 2)")
+    lib = _load()
+    W, N = words_be.shape
+    words_be = np.ascontiguousarray(words_be, dtype=np.uint64)
+    state = np.ascontiguousarray(state, dtype=np.int32)
+    need = N * W * _SLICE_LEN
+    if out is None:
+        out = np.empty((need, 1), dtype=np.int16)
+    elif (
+        out.shape != (need, 1)
+        or out.dtype != np.int16
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        raise ValueError(
+            f"out must be C-contiguous int16 of shape ({need}, 1)"
+        )
+    lib.qoa_decode_interleaved_mono(words_be, state, W, N, out)
+    return out
 
 
 def decode_interleaved_stereo(

@@ -356,6 +356,77 @@ __attribute__((always_inline)) inline void tile_store_stereo(
   }
 }
 
+// Mono variant of tile_store_stereo: the same 16-lane u32 transpose
+// (one u32 column = a PAIR of mono frames), then two vpermi2w per pair
+// de-interleave the even/odd int16 lanes (+ the 8-int16 tail segment)
+// into the two 20-sample frame rows, stored with 20-lane masked stores.
+// Measured 2.04x the decode+interleave pair at the mono fixture shape
+// (experiments/cpp_decode_mono_fused.py), bit-exact on fixture-mono +
+// adversarial random-word streams.
+__attribute__((always_inline)) inline void tile_store_mono(
+    const uint32_t* tile /* [20][16] */, int16_t* const* dst /* [32] */) {
+  __m512i r[16];
+  for (int i = 0; i < 16; ++i)
+    r[i] = _mm512_loadu_si512((const void*)(tile + i * 16));
+  __m512i a[16];
+  for (int i = 0; i < 8; ++i) {
+    a[2 * i] = _mm512_unpacklo_epi32(r[2 * i], r[2 * i + 1]);
+    a[2 * i + 1] = _mm512_unpackhi_epi32(r[2 * i], r[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    r[4 * i + 0] = _mm512_unpacklo_epi64(a[4 * i + 0], a[4 * i + 2]);
+    r[4 * i + 1] = _mm512_unpackhi_epi64(a[4 * i + 0], a[4 * i + 2]);
+    r[4 * i + 2] = _mm512_unpacklo_epi64(a[4 * i + 1], a[4 * i + 3]);
+    r[4 * i + 3] = _mm512_unpackhi_epi64(a[4 * i + 1], a[4 * i + 3]);
+  }
+  for (int i = 0; i < 2; ++i)
+    for (int j = 0; j < 4; ++j) {
+      a[8 * i + j] = _mm512_shuffle_i32x4(r[8 * i + j], r[8 * i + j + 4],
+                                          0x88);
+      a[8 * i + j + 4] = _mm512_shuffle_i32x4(r[8 * i + j],
+                                              r[8 * i + j + 4], 0xdd);
+    }
+  for (int j = 0; j < 8; ++j) {
+    r[j] = _mm512_shuffle_i32x4(a[j], a[j + 8], 0x88);
+    r[j + 8] = _mm512_shuffle_i32x4(a[j], a[j + 8], 0xdd);
+  }
+  const __m512i t16 = _mm512_loadu_si512((const void*)(tile + 16 * 16));
+  const __m512i t17 = _mm512_loadu_si512((const void*)(tile + 17 * 16));
+  const __m512i t18 = _mm512_loadu_si512((const void*)(tile + 18 * 16));
+  const __m512i t19 = _mm512_loadu_si512((const void*)(tile + 19 * 16));
+  const __m512i u0 = _mm512_unpacklo_epi32(t16, t17);
+  const __m512i u1 = _mm512_unpackhi_epi32(t16, t17);
+  const __m512i v0 = _mm512_unpacklo_epi32(t18, t19);
+  const __m512i v1 = _mm512_unpackhi_epi32(t18, t19);
+  alignas(64) uint32_t segs[4][16];
+  _mm512_store_si512((void*)segs[0], _mm512_unpacklo_epi64(u0, v0));
+  _mm512_store_si512((void*)segs[1], _mm512_unpackhi_epi64(u0, v0));
+  _mm512_store_si512((void*)segs[2], _mm512_unpacklo_epi64(u1, v1));
+  _mm512_store_si512((void*)segs[3], _mm512_unpackhi_epi64(u1, v1));
+  // de-interleave each frame pair: even int16 lanes of r[k] (+ even tail
+  // lanes) = frame 2k, odd = frame 2k+1
+  const __m512i kEven = _mm512_set_epi16(
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      32 + 6, 32 + 4, 32 + 2, 32 + 0,
+      30, 28, 26, 24, 22, 20, 18, 16, 14, 12, 10, 8, 6, 4, 2, 0);
+  const __m512i kOdd = _mm512_set_epi16(
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      32 + 7, 32 + 5, 32 + 3, 32 + 1,
+      31, 29, 27, 25, 23, 21, 19, 17, 15, 13, 11, 9, 7, 5, 3, 1);
+  const __mmask32 k20 = (1u << 20) - 1;
+  for (int k = 0; k < 16; ++k) {
+    // column k's 128-bit tail (steps 16..19 of the frame pair) sits at
+    // offset (k >> 2) * 4 u32 inside segs[k & 3]
+    const __m512i tl = _mm512_castsi128_si512(
+        _mm_load_si128((const __m128i*)(segs[k & 3] + (k >> 2) * 4)));
+    _mm512_mask_storeu_epi16(
+        (void*)dst[2 * k], k20, _mm512_permutex2var_epi16(r[k], kEven, tl));
+    _mm512_mask_storeu_epi16(
+        (void*)dst[2 * k + 1], k20,
+        _mm512_permutex2var_epi16(r[k], kOdd, tl));
+  }
+}
+
 // One 32-chain block (columns g..g+31, i.e. stereo frames f_base..+15)
 // across all W windows, stored interleaved: frame f's window w lands at
 // out + f * frame_stride + w * 40 (frame_stride in int16 elements).
@@ -383,6 +454,35 @@ static void decode_interleaved_block32_stereo(
     for (int j = 0; j < 16; ++j)
       dst[j] = out + (f_base + j) * frame_stride + w * (2 * kSliceLen);
     tile_store_stereo(reinterpret_cast<const uint32_t*>(tile), dst);
+  }
+}
+
+// Mono sibling: one 32-chain block = mono frames g..g+31; frame f's
+// window w lands at out + f * frame_stride + w * 20.
+static void decode_interleaved_block32_mono(
+    const uint64_t* words_be, const int32_t* st, int64_t W, int64_t N,
+    int64_t g, int64_t frame_stride, int64_t f_base, int16_t* out) {
+  alignas(64) int16_t tile[20 * 32];
+  DecGroup A, B;
+  dec_load_state(A, st, N, g);
+  dec_load_state(B, st, N, g + 16);
+  for (int64_t w = 0; w < W; ++w) {
+    const uint64_t* row = words_be + w * N + g;
+    dec_load_window(A, row);
+    dec_load_window(B, row + 16);
+#define QOA_DSTEP(K)                      \
+  dec_step<K>(A, tile + (int64_t)K * 32); \
+  dec_step<K>(B, tile + (int64_t)K * 32 + 16)
+    QOA_DSTEP(0); QOA_DSTEP(1); QOA_DSTEP(2); QOA_DSTEP(3); QOA_DSTEP(4);
+    QOA_DSTEP(5); QOA_DSTEP(6); QOA_DSTEP(7); QOA_DSTEP(8); QOA_DSTEP(9);
+    QOA_DSTEP(10); QOA_DSTEP(11); QOA_DSTEP(12); QOA_DSTEP(13);
+    QOA_DSTEP(14); QOA_DSTEP(15); QOA_DSTEP(16); QOA_DSTEP(17);
+    QOA_DSTEP(18); QOA_DSTEP(19);
+#undef QOA_DSTEP
+    int16_t* dst[32];
+    for (int j = 0; j < 32; ++j)
+      dst[j] = out + (f_base + j) * frame_stride + w * kSliceLen;
+    tile_store_mono(reinterpret_cast<const uint32_t*>(tile), dst);
   }
 }
 #endif  // QOA_FUSED_DECODE
@@ -643,6 +743,44 @@ void qoa_decode_interleaved_stereo(const uint64_t* words_be,
   int16_t* tmp = new int16_t[W * kSliceLen * N];
   qoa_decode_chains(words_be, state, W, N, tmp);
   qoa_interleave(tmp, W, N / 2, 2, (N / 2) * W * kSliceLen, out);
+  delete[] tmp;
+}
+
+// Mono sibling of qoa_decode_interleaved_stereo: N chains = N frames,
+// out = (N * W * 20) int16 — frame f's FULL untrimmed samples at
+// f*W*20..(f+1)*W*20.  Same tail/fallback structure.
+void qoa_decode_interleaved_mono(const uint64_t* words_be,
+                                 const int32_t* state, int64_t W, int64_t N,
+                                 int16_t* out) {
+  const int64_t stride = W * kSliceLen;  // int16 elements per frame
+#ifdef QOA_FUSED_DECODE
+  if (N >= 32) {
+    const int64_t Nb = N & ~int64_t{31};
+    for (int64_t g = 0; g < Nb; g += 32)
+      decode_interleaved_block32_mono(words_be, state, W, N, g, stride, g,
+                                      out);
+    const int64_t t = N - Nb;
+    if (t) {
+      uint64_t* wtail = new uint64_t[W * 32]();
+      int32_t sttail[8 * 32] = {};
+      int16_t* otail = new int16_t[32 * stride];
+      for (int64_t w = 0; w < W; ++w)
+        std::memcpy(wtail + w * 32, words_be + w * N + Nb,
+                    sizeof(uint64_t) * t);
+      for (int r = 0; r < 8; ++r)
+        std::memcpy(sttail + r * 32, state + r * N + Nb, sizeof(int32_t) * t);
+      decode_interleaved_block32_mono(wtail, sttail, W, 32, 0, stride, 0,
+                                      otail);
+      std::memcpy(out + Nb * stride, otail, sizeof(int16_t) * t * stride);
+      delete[] wtail;
+      delete[] otail;
+    }
+    return;
+  }
+#endif
+  int16_t* tmp = new int16_t[W * kSliceLen * N];
+  qoa_decode_chains(words_be, state, W, N, tmp);
+  qoa_interleave(tmp, W, N, 1, N * W * kSliceLen, out);
   delete[] tmp;
 }
 

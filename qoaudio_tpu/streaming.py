@@ -435,8 +435,8 @@ class QoaDecoder:
                 words_be[: rec.n_windows, cols] = rec.slice_words.byteswap()
                 st[0:4, cols] = rec.lms_history.T
                 st[4:8, cols] = rec.lms_weights.T
-            if C == 2 and native.has_fused_interleaved():
-                pcm = native.decode_interleaved_stereo(words_be, st)
+            if C in (1, 2) and native.has_fused_interleaved():
+                pcm = native.decode_interleaved(words_be, st, C)
             else:
                 dec = native.decode_chains(words_be, st)
                 pcm = native.interleave_trim(
@@ -609,8 +609,8 @@ class QoaDecoder:
         # the reference reads spc from every header, src/lib.rs:217-225 —
         # where the fused interleave+trim's single trailing trim would
         # corrupt every frame after the first)
-        if C == 2 and native.has_fused_interleaved():
-            full = native.decode_interleaved_stereo(words_be, state)
+        if C in (1, 2) and native.has_fused_interleaved():
+            full = native.decode_interleaved(words_be, state, C)
         else:
             dec = native.decode_chains(words_be, state)
             full = native.interleave_trim(
@@ -626,10 +626,10 @@ class QoaDecoder:
 
         ``dst``: flat C-contiguous int16 with capacity for at least
         ``want_frames`` full frames (any sample alignment — the kernel
-        only needs contiguity).  Caller guarantees the fused stereo engine
-        and window-aligned frames (spc == nw*20), so the kernel's uniform
-        frame stride IS the output stride.  Returns the number of frames
-        written (0 = no uniform slab here; fall back).
+        only needs contiguity).  Caller guarantees the fused mono/stereo
+        engine and window-aligned frames (spc == nw*20), so the kernel's
+        uniform frame stride IS the output stride.  Returns the number of
+        frames written (0 = no uniform slab here; fall back).
         """
         from . import native
 
@@ -637,10 +637,12 @@ class QoaDecoder:
         if parsed is None:
             return 0
         m, words_be, state, nw = parsed
-        native.decode_interleaved_stereo(
+        C = self._mode.channels
+        native.decode_interleaved(
             words_be,
             state,
-            out=dst[: m * nw * fmt.QOA_SLICE_LEN * 2].reshape(-1, 2),
+            C,
+            out=dst[: m * nw * fmt.QOA_SLICE_LEN * C].reshape(-1, C),
         )
         return m
 
@@ -786,8 +788,8 @@ class QoaDecoder:
     def _bulk_drain(self) -> Optional[np.ndarray]:
         """Zero-copy fast path of :meth:`decode_pending`.
 
-        For in-memory fixed-mode stereo sources on the fused native engine
-        with window-aligned frames, slabs decode STRAIGHT into one
+        For in-memory fixed-mode mono/stereo sources on the fused native
+        engine with window-aligned frames, slabs decode STRAIGHT into one
         preallocated output (the fused kernel's uniform frame stride IS
         the output stride) — no per-frame staging blocks and no final
         concatenate.  Exact same item semantics as the generic path: any
@@ -802,7 +804,7 @@ class QoaDecoder:
             self._dead
             or self._backend != "native"
             or not isinstance(self._mode, FixedSamples)
-            or self._mode.channels != 2
+            or self._mode.channels not in (1, 2)
             or self._prefetch_enabled
             or self._prefetch_future is not None
             or not isinstance(self._reader, io.BytesIO)
@@ -810,10 +812,11 @@ class QoaDecoder:
             or not native.has_fused_interleaved()
         ):
             return None
+        C = self._mode.channels
         spc = self._first_frame_samples
         fs = self._first_frame_size
         nw = -(-spc // fmt.QOA_SLICE_LEN)
-        if spc != nw * fmt.QOA_SLICE_LEN or fs != fmt.qoa_frame_size(2, nw):
+        if spc != nw * fmt.QOA_SLICE_LEN or fs != fmt.qoa_frame_size(C, nw):
             return None
         # capacity estimate IN FLAT SAMPLES: staged samples + remaining
         # bytes as uniform frames.  Exact for well-formed streams (interior
@@ -829,8 +832,8 @@ class QoaDecoder:
         )
         est = len(self._pending) - self._pending_idx
         est += sum(b.size for _, b, _ in self._queue)
-        est += sum(2 * r.samples_per_channel for r, _ in self._records)
-        est += -(-rem // fs) * spc * 2
+        est += sum(C * r.samples_per_channel for r, _ in self._records)
+        est += -(-rem // fs) * spc * C
         if est <= 0:
             return None
         out = np.empty(est, np.int16)
@@ -850,7 +853,7 @@ class QoaDecoder:
             put(self._pending[self._pending_idx :])
             self._pending_idx = len(self._pending)
         self._returned_first_header = True
-        hdr_uniform = FrameHeader(2, self._mode.sample_rate, spc)
+        hdr_uniform = FrameHeader(C, self._mode.sample_rate, spc)
         # drain already-parsed records (the eagerly-read first frame) as
         # one group so the slab path engages immediately — otherwise
         # _produce would top the batch up with readahead-1 frame-at-a-time
@@ -869,7 +872,7 @@ class QoaDecoder:
         # stays cache-resident (measured sweep: 128 > 64 > 32 > 256)
         bulk_batch = max(self._readahead, 128)
         while not self._dead:
-            want = min(bulk_batch, (est - filled) // (spc * 2))
+            want = min(bulk_batch, (est - filled) // (spc * C))
             if (
                 want >= 1
                 and not overflow
@@ -879,7 +882,7 @@ class QoaDecoder:
             ):
                 m = self._produce_slab_into(out[filled:], want)
                 if m:
-                    filled += m * spc * 2
+                    filled += m * spc * C
                     self._current_header = hdr_uniform
                     continue
             self._fill_queue()

@@ -152,6 +152,11 @@ def test_inline_produce_failure_is_typed_and_fatal():
     """A raw fault outside _produce's own wrapping (inline, no prefetch)
     still flows through _raise_or_stop with the decoder dead."""
     dec = QoaDecoder(_ragged_stream([400, 400]))
+    # force the generic _produce route: the bulk-drain fast path has its
+    # own producer (slab-into) and correctly DEFERS a later _produce
+    # fault after yielding its samples (covered by
+    # test_bulk_drain_truncated_stream_defers_error)
+    dec._bulk_drain = lambda: None
 
     def boom():
         raise RuntimeError("inline fault")
@@ -304,6 +309,7 @@ void qoa_gather_frames() {}
 void qoa_decode_chains() {}
 void qoa_interleave() {}
 void qoa_decode_interleaved_stereo() {}
+void qoa_decode_interleaved_mono() {}
 long qoa_has_fused_interleaved() { return 0; }
 void qoa_encode_windows() {}
 void qoa_encode_file() {}

@@ -262,6 +262,26 @@ def test_decode_interleaved_stereo_equals_pair():
         assert np.array_equal(got, want), (W, F)
 
 
+def test_decode_interleaved_mono_equals_pair():
+    """The mono fused kernel (vpermi2w frame-pair de-interleave + masked
+    stores) must reproduce the pair bit-for-bit across the composed
+    fallback, exact blocks, and ragged tails."""
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(13)
+    for W, N in [(1, 1), (7, 5), (2, 16), (5, 32), (9, 33), (3, 65), (40, 100)]:
+        words = rng.integers(0, 1 << 63, size=(W, N), dtype=np.int64).astype(
+            np.uint64
+        )
+        st = rng.integers(-32768, 32768, size=(8, N)).astype(np.int32)
+        want = native.interleave_trim(
+            native.decode_chains(words, st), N, 1, N * W * 20
+        )
+        got = native.decode_interleaved(words, st, 1)
+        assert got.shape == (N * W * 20, 1)
+        assert np.array_equal(got, want), (W, N)
+
+
 def test_allocator_tuning_applied_and_optout():
     """Loading the native engine tunes the allocator once (process-global
     mallopt); QOA_NO_MALLOPT=1 skips it while the engine still works."""
