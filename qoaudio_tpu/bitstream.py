@@ -242,15 +242,34 @@ class ParsedArrays:
         return self.words_be.shape[0]
 
 
-def parse_file_arrays(data: bytes) -> Optional[ParsedArrays]:
-    """Vectorized parse of a fixed-mode uniform-frame QOA stream.
+@dataclasses.dataclass
+class FileGeometry:
+    """Validated geometry of a fixed-mode uniform-frame stream.
+
+    The probe half of :func:`parse_file_arrays`: everything needed to
+    drive the raw-bytes fused decode kernel (which reads words and LMS
+    straight from ``data``) without the chain-array gather.
+    """
+
+    total_samples: int
+    channels: int
+    sample_rate: int
+    spc0: int          # samples/channel of every full frame
+    frame_bytes: int   # byte size of every full frame
+    W0: int            # slice windows per full frame
+    F_full: int        # number of full frames
+    tail: Optional[FrameRecord]  # short final frame, if any
+
+
+def parse_file_geometry(data: bytes) -> Optional[FileGeometry]:
+    """Validate a fixed-mode uniform-frame stream WITHOUT gathering.
 
     Exploits the format's arithmetic layout (every non-final frame is
     byte-identical in geometry, /root/reference/src/lib.rs:602-604): one
-    ``np.frombuffer`` + reshape covers all full frames; only the final
-    short frame (if any) is parsed individually.  Returns None when the
-    stream is not uniform (streaming mode, mid-stream format change, or
-    corrupt) — callers fall back to the general ``parse_file`` walk.
+    ``np.frombuffer`` + reshape covers all full frames' header words;
+    only the final short frame (if any) is parsed individually.  Returns
+    None when the stream is not uniform (streaming mode, mid-stream
+    format change, or corrupt) — callers fall back to ``parse_file``.
     """
     n = len(data)
     if n < fmt.QOA_HEADER_SIZE + 8:
@@ -280,12 +299,12 @@ def parse_file_arrays(data: bytes) -> Optional[ParsedArrays]:
     if F_full == 0:
         return None
 
-    words8 = np.frombuffer(
+    hdrs = np.frombuffer(
         data, dtype=">u8", count=F_full * frame_words, offset=fmt.QOA_HEADER_SIZE
-    ).reshape(F_full, frame_words)
+    ).reshape(F_full, frame_words)[:, 0]
 
     # all full frames must share the exact header word (same geometry)
-    if not bool((words8[:, 0] == words8[0, 0]).all()):
+    if not bool((hdrs == hdrs[0]).all()):
         return None
 
     # final short frame, if any
@@ -305,6 +324,37 @@ def parse_file_arrays(data: bytes) -> Optional[ParsedArrays]:
             # breaks the uniform-stride indexing downstream callers assume
             # (decode_range, seek): general walk
             return None
+
+    return FileGeometry(
+        total_samples=total_samples,
+        channels=channels,
+        sample_rate=rate,
+        spc0=spc0,
+        frame_bytes=frame_bytes,
+        W0=W0,
+        F_full=F_full,
+        tail=tail,
+    )
+
+
+def parse_file_arrays(data: bytes) -> Optional[ParsedArrays]:
+    """Vectorized parse of a fixed-mode uniform-frame QOA stream.
+
+    The geometry probe (:func:`parse_file_geometry`) plus the chain-array
+    gather.  Returns None when the stream is not uniform — callers fall
+    back to the general ``parse_file`` walk.
+    """
+    geo = parse_file_geometry(data)
+    if geo is None:
+        return None
+    total_samples = geo.total_samples
+    channels, rate = geo.channels, geo.sample_rate
+    spc0, frame_bytes, W0 = geo.spc0, geo.frame_bytes, geo.W0
+    F_full, tail = geo.F_full, geo.tail
+    frame_words = frame_bytes // 8
+    words8 = np.frombuffer(
+        data, dtype=">u8", count=F_full * frame_words, offset=fmt.QOA_HEADER_SIZE
+    ).reshape(F_full, frame_words)
 
     F = F_full + (1 if tail is not None else 0)
     C = channels

@@ -457,6 +457,107 @@ static void decode_interleaved_block32_stereo(
   }
 }
 
+// ---------------------------------------------------------------------------
+// Raw-bytes fused stereo decode: read slice words AND LMS straight from
+// the frame-major FILE bytes — no chain-cube staging at all.
+//
+// In the frame layout the two channels of window w are ADJACENT u64s
+// (one slice per channel per window, reference src/lib.rs:468-491), so a
+// 16-chain group (8 stereo frames) assembles its two word vectors with
+// 8x128-bit loads + 6 inserts (~12 ops against ~680 compute ops per
+// window-group); LMS state loads once per 16-frame block with a scalar
+// gather.  This deletes the host parse gather (~0.7 ms at the fixture =
+// ~25% of decode_all e2e) plus the word cube's DRAM round trip.
+// Measured 1.44-1.54x the parse+array-kernel pipeline
+// (experiments/cpp_decode_raw.py), bit-exact on fixture + adversarial
+// wrap-regime streams.
+// ---------------------------------------------------------------------------
+#ifdef QOA_FUSED_DECODE
+namespace {
+
+// Merge 8 frames' (window-w, both-channels) u64 pairs into one vector,
+// then finish exactly like dec_load_window (bswap + half-plane split +
+// magnitude gather).
+__attribute__((always_inline)) inline void dec_load_window_raw(
+    DecGroup& G, const uint8_t* base, int64_t fstride) {
+  __m512i a = _mm512_castsi128_si512(
+      _mm_loadu_si128((const __m128i*)base));
+  a = _mm512_inserti32x4(
+      a, _mm_loadu_si128((const __m128i*)(base + fstride)), 1);
+  a = _mm512_inserti32x4(
+      a, _mm_loadu_si128((const __m128i*)(base + 2 * fstride)), 2);
+  a = _mm512_inserti32x4(
+      a, _mm_loadu_si128((const __m128i*)(base + 3 * fstride)), 3);
+  __m512i b = _mm512_castsi128_si512(
+      _mm_loadu_si128((const __m128i*)(base + 4 * fstride)));
+  b = _mm512_inserti32x4(
+      b, _mm_loadu_si128((const __m128i*)(base + 5 * fstride)), 1);
+  b = _mm512_inserti32x4(
+      b, _mm_loadu_si128((const __m128i*)(base + 6 * fstride)), 2);
+  b = _mm512_inserti32x4(
+      b, _mm_loadu_si128((const __m128i*)(base + 7 * fstride)), 3);
+  a = bswap64x8(a);
+  b = bswap64x8(b);
+  const __m512i kLo = _mm512_set_epi32(30, 28, 26, 24, 22, 20, 18, 16,
+                                       14, 12, 10, 8, 6, 4, 2, 0);
+  const __m512i kHi = _mm512_set_epi32(31, 29, 27, 25, 23, 21, 19, 17,
+                                       15, 13, 11, 9, 7, 5, 3, 1);
+  G.wlo = _mm512_permutex2var_epi32(a, kLo, b);
+  G.whi = _mm512_permutex2var_epi32(a, kHi, b);
+  const __m512i sf = _mm512_srli_epi32(G.whi, 28);
+  G.m0 = _mm512_permutexvar_epi32(sf, (__m512i)kMag0V);
+  G.m1 = _mm512_permutexvar_epi32(sf, (__m512i)kMag1V);
+  G.m2 = _mm512_permutexvar_epi32(sf, (__m512i)kMag2V);
+  G.m3 = _mm512_permutexvar_epi32(sf, (__m512i)kMag3V);
+}
+
+// One 16-frame block straight from frame bytes: scalar LMS gather once
+// (256 ops per ~164k decoded samples — noise), then the fused per-window
+// decode + in-register transpose store.
+static void decode_raw_block16f_stereo(const uint8_t* frames,
+                                       int64_t fstride, int64_t W,
+                                       int64_t out_stride, int16_t* out) {
+  alignas(64) int32_t st[8 * 32];
+  for (int j = 0; j < 16; ++j) {
+    const uint8_t* p = frames + j * fstride + 8;
+    for (int c = 0; c < 2; ++c)
+      for (int r = 0; r < 4; ++r) {
+        const uint8_t* h = p + c * 16 + 2 * r;
+        const uint8_t* wt = p + c * 16 + 8 + 2 * r;
+        st[r * 32 + 2 * j + c] =
+            (int32_t)(int16_t)((uint16_t(h[0]) << 8) | h[1]);
+        st[(4 + r) * 32 + 2 * j + c] =
+            (int32_t)(int16_t)((uint16_t(wt[0]) << 8) | wt[1]);
+      }
+  }
+  DecGroup A, B;
+  dec_load_state(A, st, 32, 0);
+  dec_load_state(B, st, 32, 16);
+  alignas(64) int16_t tile[20 * 32];
+  const uint8_t* wbase = frames + 8 + 32;  // frame header u64 + 2x16B LMS
+  for (int64_t w = 0; w < W; ++w) {
+    const uint8_t* rowp = wbase + w * 16;
+    dec_load_window_raw(A, rowp, fstride);
+    dec_load_window_raw(B, rowp + 8 * fstride, fstride);
+#define QOA_DSTEP(K)                      \
+  dec_step<K>(A, tile + (int64_t)K * 32); \
+  dec_step<K>(B, tile + (int64_t)K * 32 + 16)
+    QOA_DSTEP(0); QOA_DSTEP(1); QOA_DSTEP(2); QOA_DSTEP(3); QOA_DSTEP(4);
+    QOA_DSTEP(5); QOA_DSTEP(6); QOA_DSTEP(7); QOA_DSTEP(8); QOA_DSTEP(9);
+    QOA_DSTEP(10); QOA_DSTEP(11); QOA_DSTEP(12); QOA_DSTEP(13);
+    QOA_DSTEP(14); QOA_DSTEP(15); QOA_DSTEP(16); QOA_DSTEP(17);
+    QOA_DSTEP(18); QOA_DSTEP(19);
+#undef QOA_DSTEP
+    int16_t* dst[16];
+    for (int j = 0; j < 16; ++j)
+      dst[j] = out + j * out_stride + w * 40;
+    tile_store_stereo(reinterpret_cast<const uint32_t*>(tile), dst);
+  }
+}
+
+}  // namespace
+#endif  // QOA_FUSED_DECODE
+
 // Mono sibling: one 32-chain block = mono frames g..g+31; frame f's
 // window w lands at out + f * frame_stride + w * 20.
 static void decode_interleaved_block32_mono(
@@ -782,6 +883,55 @@ void qoa_decode_interleaved_mono(const uint64_t* words_be,
   qoa_decode_chains(words_be, state, W, N, tmp);
   qoa_interleave(tmp, W, N, 1, N * W * kSliceLen, out);
   delete[] tmp;
+}
+
+// ---------------------------------------------------------------------------
+// Raw-bytes fused stereo decode entry.
+//
+//   data+offset: F_full UNIFORM full stereo frames of frame_bytes each,
+//                W windows per frame (validated by the caller's header
+//                scan; frame_bytes == 8 + 32 + W*16).
+//   out: (F_full * W * 20, 2) int16 — full untrimmed frames, identical
+//        to gathering the chains and running
+//        qoa_decode_interleaved_stereo.  The short tail frame (if any)
+//        is NOT covered here — callers decode it via the array kernel.
+//
+// AVX-512 builds read words + LMS straight from the file bytes (see
+// decode_raw_block16f_stereo); the <16-frame remainder gathers into
+// padded arrays and reuses the array kernel.  Non-AVX-512 tiers compose
+// gather + array kernel for the whole range (uniform symbol contract;
+// the Python wrapper prefers the staged pipeline there).
+// ---------------------------------------------------------------------------
+void qoa_decode_interleaved_stereo_raw(const uint8_t* data, int64_t offset,
+                                       int64_t F_full, int64_t frame_bytes,
+                                       int64_t W, int16_t* out) {
+  const int64_t stride = W * kSliceLen * 2;
+#ifdef QOA_FUSED_DECODE
+  int64_t f = 0;
+  for (; f + 16 <= F_full; f += 16)
+    decode_raw_block16f_stereo(data + offset + f * frame_bytes, frame_bytes,
+                               W, stride, out + f * stride);
+  const int64_t rem = F_full - f;
+  if (rem) {
+    const int64_t n = rem * 2;
+    uint64_t* wrem = new uint64_t[W * n];
+    int32_t* strem = new int32_t[8 * n];
+    qoa_gather_frames(data, offset + f * frame_bytes, rem, frame_bytes, 2, W,
+                      W, n, wrem, strem);
+    qoa_decode_interleaved_stereo(wrem, strem, W, n, out + f * stride);
+    delete[] wrem;
+    delete[] strem;
+  }
+#else
+  const int64_t n = F_full * 2;
+  uint64_t* wall = new uint64_t[W * n];
+  int32_t* stall = new int32_t[8 * n];
+  qoa_gather_frames(data, offset, F_full, frame_bytes, 2, W, W, n, wall,
+                    stall);
+  qoa_decode_interleaved_stereo(wall, stall, W, n, out);
+  delete[] wall;
+  delete[] stall;
+#endif
 }
 
 int64_t qoa_has_fused_interleaved(void) {

@@ -240,6 +240,85 @@ def test_fused_decode_dispatch_boundary_matches_oracle():
         ), (F, C)
 
 
+def test_decode_raw_stereo_matches_oracle_various():
+    """The raw-bytes fused stereo decode (words + LMS read straight from
+    the file buffer — the decode_all fast path) must reproduce the scalar
+    oracle bit-for-bit on adversarial random-word/wrap-state streams with
+    full-frame counts straddling its 16-frame block boundary, with and
+    without a short tail frame, including the gathered remainder path."""
+    from qoaudio_tpu import bitstream as bs
+
+    rng = np.random.default_rng(31)
+    spc = 100  # 5 windows/frame, window-aligned (raw-path eligible)
+
+    def build(F_full, tail_spc):
+        frames = []
+        specs = [spc] * F_full + ([tail_spc] if tail_spc else [])
+        for s in specs:
+            nw = -(-s // 20)
+            words = rng.integers(
+                0, 1 << 63, size=(nw, 2), dtype=np.int64
+            ).astype(np.uint64) | (
+                rng.integers(0, 16, size=(nw, 2), dtype=np.uint64)
+                << np.uint64(60)
+            )
+            hist = rng.integers(-32768, 32768, (2, 4)).astype(np.int32)
+            wts = rng.choice(
+                np.array([-32768, -16384, 16383, 32767], np.int32),
+                size=(2, 4),
+            )
+            frames.append(bs.build_frame_bytes(2, 44100, s, hist, wts, words))
+        total = spc * F_full + tail_spc
+        return fmt.pack_file_header(total) + b"".join(frames)
+
+    for F_full, tail_spc in [
+        (1, 0), (15, 0), (16, 0), (17, 0), (32, 37), (16, 80), (3, 20),
+        # tail_spc=99 packs to the SAME byte size as the full frames (5
+        # windows), which the uniform probe must reject to the general
+        # walk — decode stays correct through the fallback
+        (16, 99),
+    ]:
+        data = build(F_full, tail_spc)
+        geo = bs.parse_file_geometry(data)
+        if tail_spc == 99:
+            assert geo is None
+        else:
+            assert geo is not None and geo.F_full == F_full
+            assert (geo.tail is not None) == bool(tail_spc)
+        _, _, want = ref.decode_all_py(data)
+        out = codec.decode_all(data, backend="native")
+        assert np.array_equal(
+            out.samples, np.asarray(want, np.int16)
+        ), (F_full, tail_spc)
+
+
+def test_decode_raw_stereo_out_contract():
+    """decode_interleaved_stereo_raw validates the out= buffer shape and
+    the frame range against the data buffer."""
+    if not native.has_fused_interleaved():
+        pytest.skip("fused kernel tier unavailable")
+    from qoaudio_tpu import bitstream as bs
+
+    n = 5120 * 2  # two full frames
+    pcm = make_noise(n, channels=2)
+    data = codec.encode_all(
+        pcm.reshape(-1), QoaDesc(channels=2, sample_rate=44100, samples=n)
+    )
+    geo = bs.parse_file_geometry(data)
+    assert geo is not None
+    with pytest.raises(ValueError):
+        native.decode_interleaved_stereo_raw(
+            data, fmt.QOA_HEADER_SIZE, geo.F_full, geo.frame_bytes, geo.W0,
+            out=np.empty((3, 2), np.int16),
+        )
+    with pytest.raises(ValueError):
+        # range past the end of the buffer
+        native.decode_interleaved_stereo_raw(
+            data, fmt.QOA_HEADER_SIZE, geo.F_full + 1, geo.frame_bytes,
+            geo.W0,
+        )
+
+
 def test_decode_interleaved_stereo_equals_pair():
     """The fused decode->interleaved kernel must reproduce the
     decode_chains + interleave_trim pair bit-for-bit on adversarial
