@@ -532,14 +532,15 @@ class QoaDecoder:
         err, self._pending_error = self._pending_error, None
         return items, err
 
-    def _parse_slab(self, want_frames: Optional[int] = None):
-        """Bulk-read + dense-parse the next run of uniform frames.
+    def _match_slab(self, want_frames: Optional[int] = None):
+        """Bulk-read + header-match the next run of uniform frames.
 
-        Returns (m, words_be, state, nw) for m >= 1 matched frames
-        (m <= ``want_frames``, default ``readahead``), or None
-        (non-uniform next frame / EOF / geometry mismatch — the
+        Returns (m, data, fs, nw) for m >= 1 matched frames starting at
+        ``data[0]`` (m <= ``want_frames``, default ``readahead``), or
+        None (non-uniform next frame / EOF / geometry mismatch — the
         unconsumed bytes stay in ``_tail`` for the frame-at-a-time
-        reader).
+        reader).  Bytes past frame m stay in ``_tail``; ``data`` may
+        extend beyond m*fs.
         """
         fs = self._first_frame_size
         spc = self._first_frame_samples
@@ -571,9 +572,20 @@ class QoaDecoder:
             self._tail = data
             return None
         self._tail = data[m * fs :]
-
-        # dense parse of m identical-geometry frames (cf. parse_file_arrays)
         nw = (fs // 8 - 1 - 2 * C) // C  # slice windows per frame
+        return m, data, fs, nw
+
+    def _parse_slab(self, want_frames: Optional[int] = None):
+        """:meth:`_match_slab` plus the dense chain-array gather.
+
+        Returns (m, words_be, state, nw) shaped for the array kernels,
+        or None (cf. parse_file_arrays).
+        """
+        matched = self._match_slab(want_frames)
+        if matched is None:
+            return None
+        m, data, fs, nw = matched
+        C = self._mode.channels
         i2 = np.frombuffer(data, dtype=">i2", count=m * (fs // 2)).reshape(
             m, fs // 2
         )
@@ -595,10 +607,6 @@ class QoaDecoder:
 
         if not native.available():
             return None
-        parsed = self._parse_slab()
-        if parsed is None:
-            return None
-        m, words_be, state, nw = parsed
         C = self._mode.channels
         spc = self._first_frame_samples
 
@@ -609,13 +617,25 @@ class QoaDecoder:
         # the reference reads spc from every header, src/lib.rs:217-225 —
         # where the fused interleave+trim's single trailing trim would
         # corrupt every frame after the first)
-        if C in (1, 2) and native.has_fused_interleaved():
-            full = native.decode_interleaved(words_be, state, C)
+        if C == 2 and native.has_fused_interleaved():
+            # raw-bytes kernel: words + LMS read straight from the slab
+            matched = self._match_slab()
+            if matched is None:
+                return None
+            m, data, fs, nw = matched
+            full = native.decode_interleaved_stereo_raw(data, 0, m, fs, nw)
         else:
-            dec = native.decode_chains(words_be, state)
-            full = native.interleave_trim(
-                dec, m, C, m * nw * fmt.QOA_SLICE_LEN
-            )
+            parsed = self._parse_slab()
+            if parsed is None:
+                return None
+            m, words_be, state, nw = parsed
+            if C == 1 and native.has_fused_interleaved():
+                full = native.decode_interleaved(words_be, state, C)
+            else:
+                dec = native.decode_chains(words_be, state)
+                full = native.interleave_trim(
+                    dec, m, C, m * nw * fmt.QOA_SLICE_LEN
+                )
         full = full.reshape(m, nw * fmt.QOA_SLICE_LEN, C)
         hdr = FrameHeader(C, self._mode.sample_rate, spc)
         items = [(hdr, full[i, :spc].reshape(-1), True) for i in range(m)]
@@ -633,11 +653,22 @@ class QoaDecoder:
         """
         from . import native
 
+        C = self._mode.channels
+        if C == 2:
+            # raw-bytes kernel straight from the slab into dst
+            matched = self._match_slab(want_frames)
+            if matched is None:
+                return 0
+            m, data, fs, nw = matched
+            native.decode_interleaved_stereo_raw(
+                data, 0, m, fs, nw,
+                out=dst[: m * nw * fmt.QOA_SLICE_LEN * 2].reshape(-1, 2),
+            )
+            return m
         parsed = self._parse_slab(want_frames)
         if parsed is None:
             return 0
         m, words_be, state, nw = parsed
-        C = self._mode.channels
         native.decode_interleaved(
             words_be,
             state,
