@@ -130,6 +130,21 @@ def decode_all(data: bytes, backend: str = "auto") -> DecodedQoa:
     )
 
 
+def _decode_tail_stereo(t) -> np.ndarray:
+    """Decode a short stereo tail FrameRecord through the array kernel.
+
+    Returns the untrimmed (n_windows*20, 2) int16 frame; callers slice
+    to ``t.samples_per_channel`` rows.
+    """
+    from . import native
+
+    tstate = np.empty((8, 2), dtype=np.int32)
+    tstate[0:4] = t.lms_history.T
+    tstate[4:8] = t.lms_weights.T
+    twords = np.ascontiguousarray(t.slice_words.astype(">u8").view(np.uint64))
+    return native.decode_interleaved(twords, tstate, 2)
+
+
 def _decode_all_native(data: bytes) -> DecodedQoa:
     """One-shot decode on the native chain-vector engine.
 
@@ -159,15 +174,7 @@ def _decode_all_native(data: bytes) -> DecodedQoa:
             out=out[:rows_full],
         )
         if geo.tail is not None:
-            t = geo.tail
-            tstate = np.empty((8, 2), dtype=np.int32)
-            tstate[0:4] = t.lms_history.T
-            tstate[4:8] = t.lms_weights.T
-            twords = np.ascontiguousarray(
-                t.slice_words.astype(">u8").view(np.uint64)
-            )
-            tfull = native.decode_interleaved(twords, tstate, 2)
-            out[rows_full:] = tfull[:tail_rows]
+            out[rows_full:] = _decode_tail_stereo(geo.tail)[:tail_rows]
         return DecodedQoa(
             num_channels=2,
             sample_rate=geo.sample_rate,
@@ -241,6 +248,62 @@ def decode_range(
     """
     if start < 0 or end < start:
         raise ValueError("need 0 <= start <= end")
+
+    if backend in ("auto", "native"):
+        from . import native
+
+        geo = bs.parse_file_geometry(data)
+        if (
+            geo is not None
+            and geo.channels == 2
+            and geo.spc0 == geo.W0 * fmt.QOA_SLICE_LEN
+            and native.available()
+            and native.has_fused_interleaved()
+        ):
+            # O(range) for real: the geometry probe is O(F) header words
+            # (no gather), and the raw kernel decodes ONLY the covered
+            # frames straight from the file bytes at their byte offset.
+            spc0 = geo.spc0
+            tail_spc = (
+                geo.tail.samples_per_channel if geo.tail is not None else 0
+            )
+            total = geo.F_full * spc0 + tail_spc
+            start = min(start, total)
+            end = min(end, total)
+            if end <= start:
+                return DecodedQoa(
+                    num_channels=2,
+                    sample_rate=geo.sample_rate,
+                    samples=np.empty(0, np.int16),
+                )
+            F = geo.F_full + (1 if geo.tail is not None else 0)
+            f0 = start // spc0
+            f1 = min(max(f0 + 1, -(-end // spc0)), F)
+            nfull = max(0, min(f1, geo.F_full) - f0)
+            rows_full = nfull * spc0
+            tail_in = f1 > geo.F_full
+            pcm = np.empty(
+                (rows_full + (tail_spc if tail_in else 0), 2), np.int16
+            )
+            if nfull:
+                native.decode_interleaved_stereo_raw(
+                    data,
+                    fmt.QOA_HEADER_SIZE + f0 * geo.frame_bytes,
+                    nfull,
+                    geo.frame_bytes,
+                    geo.W0,
+                    out=pcm[:rows_full],
+                )
+            if tail_in:
+                pcm[rows_full:] = _decode_tail_stereo(geo.tail)[:tail_spc]
+            lo = start - f0 * spc0
+            hi = lo + (end - start)
+            return DecodedQoa(
+                num_channels=2,
+                sample_rate=geo.sample_rate,
+                samples=np.ascontiguousarray(pcm[lo:hi]).reshape(-1),
+            )
+
     pa = bs.parse_file_arrays(data)
     if pa is None or backend not in ("auto", "native"):
         out = decode_all(data, backend=backend)

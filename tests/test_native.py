@@ -292,6 +292,25 @@ def test_decode_raw_stereo_matches_oracle_various():
         ), (F_full, tail_spc)
 
 
+def test_decode_range_raw_path_matches_full_decode():
+    """decode_range's raw fast path (geometry probe + byte-offset raw
+    kernel, O(range)) must agree with the full decode on ranges covering
+    block boundaries, the short tail only, and clamped overshoot."""
+    n = 5120 * 3 + 777  # three full frames + short tail
+    pcm = make_noise(n, channels=2)
+    data = codec.encode_all(
+        pcm.reshape(-1), QoaDesc(channels=2, sample_rate=44100, samples=n)
+    )
+    x = codec.decode_all(data).samples.reshape(-1, 2)
+    for s, e in [
+        (0, n), (0, 7), (5120 - 3, 5120 + 3), (5120 * 3 + 5, n), (n - 1, n),
+        (5119, 5121), (100, 100), (n, n + 50), (0, 10**9),
+    ]:
+        out = codec.decode_range(data, s, e)
+        lo, hi = min(s, n), min(e, n)
+        assert np.array_equal(out.samples, x[lo:hi].reshape(-1)), (s, e)
+
+
 def test_decode_raw_stereo_out_contract():
     """decode_interleaved_stereo_raw validates the out= buffer shape and
     the frame range against the data buffer."""
