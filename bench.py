@@ -59,9 +59,9 @@ HOST_FLOORS = {
     # (experiments/cpp_decode_interleaved.py): in-bench idle best 1480.5 /
     # 751.7 / 93.6 Msps
     "decode_e2e_msps": 1150.0,
-    # stream floor re-raised after the decode_pending bulk-drain path
-    # (slabs decode straight into one flat output; in-bench idle 915.6)
-    "decode_stream_msps": 730.0,
+    # stream floor re-raised after the raw-bytes slab path (words + LMS
+    # read straight from the slab run; in-bench idle 1036.8-1086)
+    "decode_stream_msps": 850.0,
     "encode_single_file_e2e_msps": 72.0,
 }
 
@@ -118,7 +118,7 @@ def bench_host_paths(data, pcm, channels, spc):
     # per stage so future host work targets the dominant term
     from qoaudio_tpu import bitstream as qbs
 
-    t_parse = t_kernel = t_inter = t_fused = float("inf")
+    t_parse = t_kernel = t_inter = t_fused = t_raw = float("inf")
     fused = native.has_fused_interleaved()
     for _ in range(3):
         with Stopwatch() as sw:
@@ -136,11 +136,23 @@ def bench_host_paths(data, pcm, channels, spc):
             with Stopwatch() as sw:
                 native.decode_interleaved_stereo(pa.words_be, pa.state)
             t_fused = min(t_fused, sw.elapsed)
+            geo = qbs.parse_file_geometry(data)
+            if geo is not None:
+                from qoaudio_tpu import format as qfmt
+
+                with Stopwatch() as sw:
+                    native.decode_interleaved_stereo_raw(
+                        data, qfmt.QOA_HEADER_SIZE, geo.F_full,
+                        geo.frame_bytes, geo.W0,
+                    )
+                t_raw = min(t_raw, sw.elapsed)
     log(
         f"decode attribution: parse {t_parse*1e3:.1f} ms, kernel "
         f"{t_kernel*1e3:.1f} ms, interleave {t_inter*1e3:.1f} ms"
         + (f", fused kernel+interleave {t_fused*1e3:.1f} ms"
            if t_fused < float("inf") else "")
+        + (f", raw-bytes kernel {t_raw*1e3:.1f} ms"
+           if t_raw < float("inf") else "")
     )
 
     # streaming-iterator path (batched readahead + the slab bulk parse;

@@ -130,19 +130,19 @@ def decode_all(data: bytes, backend: str = "auto") -> DecodedQoa:
     )
 
 
-def _decode_tail_stereo(t) -> np.ndarray:
-    """Decode a short stereo tail FrameRecord through the array kernel.
+def _decode_tail_fused(t, C: int) -> np.ndarray:
+    """Decode a short tail FrameRecord through the array kernel.
 
-    Returns the untrimmed (n_windows*20, 2) int16 frame; callers slice
+    Returns the untrimmed (n_windows*20, C) int16 frame; callers slice
     to ``t.samples_per_channel`` rows.
     """
     from . import native
 
-    tstate = np.empty((8, 2), dtype=np.int32)
+    tstate = np.empty((8, C), dtype=np.int32)
     tstate[0:4] = t.lms_history.T
     tstate[4:8] = t.lms_weights.T
     twords = np.ascontiguousarray(t.slice_words.astype(">u8").view(np.uint64))
-    return native.decode_interleaved(twords, tstate, 2)
+    return native.decode_interleaved(twords, tstate, C)
 
 
 def _decode_all_native(data: bytes) -> DecodedQoa:
@@ -156,7 +156,7 @@ def _decode_all_native(data: bytes) -> DecodedQoa:
     geo = bs.parse_file_geometry(data)
     if (
         geo is not None
-        and geo.channels == 2
+        and geo.channels in (1, 2)
         and geo.spc0 == geo.W0 * fmt.QOA_SLICE_LEN
         and native.has_fused_interleaved()
     ):
@@ -166,17 +166,18 @@ def _decode_all_native(data: bytes) -> DecodedQoa:
         # PCM at final positions.  Window-aligned full frames make the
         # untrimmed rows contiguous-exact; only the short tail (if any)
         # decodes through the array kernel.
+        C = geo.channels
         rows_full = geo.F_full * geo.spc0
         tail_rows = geo.tail.samples_per_channel if geo.tail is not None else 0
-        out = np.empty((rows_full + tail_rows, 2), dtype=np.int16)
-        native.decode_interleaved_stereo_raw(
+        out = np.empty((rows_full + tail_rows, C), dtype=np.int16)
+        native.decode_interleaved_raw(
             data, fmt.QOA_HEADER_SIZE, geo.F_full, geo.frame_bytes, geo.W0,
-            out=out[:rows_full],
+            C, out=out[:rows_full],
         )
         if geo.tail is not None:
-            out[rows_full:] = _decode_tail_stereo(geo.tail)[:tail_rows]
+            out[rows_full:] = _decode_tail_fused(geo.tail, C)[:tail_rows]
         return DecodedQoa(
-            num_channels=2,
+            num_channels=C,
             sample_rate=geo.sample_rate,
             samples=out.reshape(-1),
         )
@@ -255,7 +256,7 @@ def decode_range(
         geo = bs.parse_file_geometry(data)
         if (
             geo is not None
-            and geo.channels == 2
+            and geo.channels in (1, 2)
             and geo.spc0 == geo.W0 * fmt.QOA_SLICE_LEN
             and native.available()
             and native.has_fused_interleaved()
@@ -263,6 +264,7 @@ def decode_range(
             # O(range) for real: the geometry probe is O(F) header words
             # (no gather), and the raw kernel decodes ONLY the covered
             # frames straight from the file bytes at their byte offset.
+            C = geo.channels
             spc0 = geo.spc0
             tail_spc = (
                 geo.tail.samples_per_channel if geo.tail is not None else 0
@@ -272,7 +274,7 @@ def decode_range(
             end = min(end, total)
             if end <= start:
                 return DecodedQoa(
-                    num_channels=2,
+                    num_channels=C,
                     sample_rate=geo.sample_rate,
                     samples=np.empty(0, np.int16),
                 )
@@ -283,23 +285,24 @@ def decode_range(
             rows_full = nfull * spc0
             tail_in = f1 > geo.F_full
             pcm = np.empty(
-                (rows_full + (tail_spc if tail_in else 0), 2), np.int16
+                (rows_full + (tail_spc if tail_in else 0), C), np.int16
             )
             if nfull:
-                native.decode_interleaved_stereo_raw(
+                native.decode_interleaved_raw(
                     data,
                     fmt.QOA_HEADER_SIZE + f0 * geo.frame_bytes,
                     nfull,
                     geo.frame_bytes,
                     geo.W0,
+                    C,
                     out=pcm[:rows_full],
                 )
             if tail_in:
-                pcm[rows_full:] = _decode_tail_stereo(geo.tail)[:tail_spc]
+                pcm[rows_full:] = _decode_tail_fused(geo.tail, C)[:tail_spc]
             lo = start - f0 * spc0
             hi = lo + (end - start)
             return DecodedQoa(
-                num_channels=2,
+                num_channels=C,
                 sample_rate=geo.sample_rate,
                 samples=np.ascontiguousarray(pcm[lo:hi]).reshape(-1),
             )

@@ -156,6 +156,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 p_u8, i64, i64, i64, i64, p_i16,
             ]
             lib.qoa_decode_interleaved_stereo_raw.restype = None
+            lib.qoa_decode_interleaved_mono_raw.argtypes = [
+                p_u8, i64, i64, i64, i64, p_i16,
+            ]
+            lib.qoa_decode_interleaved_mono_raw.restype = None
             lib.qoa_has_fused_interleaved.argtypes = []
             lib.qoa_has_fused_interleaved.restype = i64
             lib.qoa_encode_windows.argtypes = [
@@ -341,6 +345,61 @@ def decode_interleaved_stereo_raw(
         buf, offset, F_full, frame_bytes, W, out
     )
     return out
+
+
+def decode_interleaved_mono_raw(
+    data,
+    offset: int,
+    F_full: int,
+    frame_bytes: int,
+    W: int,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Mono sibling of :func:`decode_interleaved_stereo_raw`.
+
+    Returns (F_full*W*20, 1) int16 full untrimmed frames decoded straight
+    from the frame-major file bytes (two windows per 128-bit load round).
+    """
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    need = F_full * W * _SLICE_LEN
+    if out is None:
+        out = np.empty((need, 1), dtype=np.int16)
+    elif (
+        out.shape != (need, 1)
+        or out.dtype != np.int16
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        raise ValueError(
+            f"out must be C-contiguous int16 of shape ({need}, 1)"
+        )
+    if offset + F_full * frame_bytes > buf.size:
+        raise ValueError("frame range exceeds the data buffer")
+    lib.qoa_decode_interleaved_mono_raw(
+        buf, offset, F_full, frame_bytes, W, out
+    )
+    return out
+
+
+def decode_interleaved_raw(
+    data,
+    offset: int,
+    F_full: int,
+    frame_bytes: int,
+    W: int,
+    C: int,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Raw-bytes fused decode for C in (1, 2): (F_full*W*20, C) int16."""
+    if C == 2:
+        return decode_interleaved_stereo_raw(
+            data, offset, F_full, frame_bytes, W, out=out
+        )
+    if C != 1:
+        raise ValueError("raw fused decode supports C in (1, 2)")
+    return decode_interleaved_mono_raw(
+        data, offset, F_full, frame_bytes, W, out=out
+    )
 
 
 def interleave_trim(decoded: np.ndarray, F: int, C: int, total: int) -> np.ndarray:

@@ -475,27 +475,11 @@ static void decode_interleaved_block32_stereo(
 #ifdef QOA_FUSED_DECODE
 namespace {
 
-// Merge 8 frames' (window-w, both-channels) u64 pairs into one vector,
-// then finish exactly like dec_load_window (bswap + half-plane split +
-// magnitude gather).
-__attribute__((always_inline)) inline void dec_load_window_raw(
-    DecGroup& G, const uint8_t* base, int64_t fstride) {
-  __m512i a = _mm512_castsi128_si512(
-      _mm_loadu_si128((const __m128i*)base));
-  a = _mm512_inserti32x4(
-      a, _mm_loadu_si128((const __m128i*)(base + fstride)), 1);
-  a = _mm512_inserti32x4(
-      a, _mm_loadu_si128((const __m128i*)(base + 2 * fstride)), 2);
-  a = _mm512_inserti32x4(
-      a, _mm_loadu_si128((const __m128i*)(base + 3 * fstride)), 3);
-  __m512i b = _mm512_castsi128_si512(
-      _mm_loadu_si128((const __m128i*)(base + 4 * fstride)));
-  b = _mm512_inserti32x4(
-      b, _mm_loadu_si128((const __m128i*)(base + 5 * fstride)), 1);
-  b = _mm512_inserti32x4(
-      b, _mm_loadu_si128((const __m128i*)(base + 6 * fstride)), 2);
-  b = _mm512_inserti32x4(
-      b, _mm_loadu_si128((const __m128i*)(base + 7 * fstride)), 3);
+// Finish a raw window load: two 8-u64 raw big-endian word vectors
+// (chains 0-7 / 8-15 of the group) -> DecGroup word planes exactly like
+// dec_load_window (bswap + half-plane split + magnitude gather).
+__attribute__((always_inline)) inline void dec_finish_window_bytes(
+    DecGroup& G, __m512i a, __m512i b) {
   a = bswap64x8(a);
   b = bswap64x8(b);
   const __m512i kLo = _mm512_set_epi32(30, 28, 26, 24, 22, 20, 18, 16,
@@ -509,6 +493,53 @@ __attribute__((always_inline)) inline void dec_load_window_raw(
   G.m1 = _mm512_permutexvar_epi32(sf, (__m512i)kMag1V);
   G.m2 = _mm512_permutexvar_epi32(sf, (__m512i)kMag2V);
   G.m3 = _mm512_permutexvar_epi32(sf, (__m512i)kMag3V);
+}
+
+// Gather 8 frames' 16 contiguous bytes at base + j*fstride into one vector.
+__attribute__((always_inline)) inline void raw_load_8x128(
+    __m512i& a, __m512i& b, const uint8_t* base, int64_t fstride) {
+  a = _mm512_castsi128_si512(_mm_loadu_si128((const __m128i*)base));
+  a = _mm512_inserti32x4(
+      a, _mm_loadu_si128((const __m128i*)(base + fstride)), 1);
+  a = _mm512_inserti32x4(
+      a, _mm_loadu_si128((const __m128i*)(base + 2 * fstride)), 2);
+  a = _mm512_inserti32x4(
+      a, _mm_loadu_si128((const __m128i*)(base + 3 * fstride)), 3);
+  b = _mm512_castsi128_si512(
+      _mm_loadu_si128((const __m128i*)(base + 4 * fstride)));
+  b = _mm512_inserti32x4(
+      b, _mm_loadu_si128((const __m128i*)(base + 5 * fstride)), 1);
+  b = _mm512_inserti32x4(
+      b, _mm_loadu_si128((const __m128i*)(base + 6 * fstride)), 2);
+  b = _mm512_inserti32x4(
+      b, _mm_loadu_si128((const __m128i*)(base + 7 * fstride)), 3);
+}
+
+// Merge 8 stereo frames' (window-w, both-channels) u64 pairs straight
+// into the group's word planes.
+__attribute__((always_inline)) inline void dec_load_window_raw(
+    DecGroup& G, const uint8_t* base, int64_t fstride) {
+  __m512i a, b;
+  raw_load_8x128(a, b, base, fstride);
+  dec_finish_window_bytes(G, a, b);
+}
+
+// Mono sibling: 16 frames x (window w, window w+1) u64 pairs -> the
+// even/odd window word vectors for one 16-chain group (two windows per
+// load round; mono windows of one frame are ADJACENT u64s, so the
+// 128-bit loads cover two sequential windows instead of two channels).
+__attribute__((always_inline)) inline void dec_load_wpair_raw_mono(
+    __m512i& e_lo, __m512i& e_hi, __m512i& o_lo, __m512i& o_hi,
+    const uint8_t* base, int64_t fstride) {
+  __m512i a, b, c, d;
+  raw_load_8x128(a, b, base, fstride);
+  raw_load_8x128(c, d, base + 8 * fstride, fstride);
+  const __m512i kE = _mm512_set_epi64(14, 12, 10, 8, 6, 4, 2, 0);
+  const __m512i kO = _mm512_set_epi64(15, 13, 11, 9, 7, 5, 3, 1);
+  e_lo = _mm512_permutex2var_epi64(a, kE, b);
+  o_lo = _mm512_permutex2var_epi64(a, kO, b);
+  e_hi = _mm512_permutex2var_epi64(c, kE, d);
+  o_hi = _mm512_permutex2var_epi64(c, kO, d);
 }
 
 // One 16-frame block straight from frame bytes: scalar LMS gather once
@@ -553,6 +584,74 @@ static void decode_raw_block16f_stereo(const uint8_t* frames,
       dst[j] = out + j * out_stride + w * 40;
     tile_store_stereo(reinterpret_cast<const uint32_t*>(tile), dst);
   }
+}
+
+// Mono raw block: 32 mono frames straight from frame bytes.  Windows
+// decode two per load round (see dec_load_wpair_raw_mono); an odd final
+// window re-loads the last pair and uses its odd half, so the caller
+// must guarantee W >= 2 (the entry routes W < 2 through the gather
+// path).  Loads never touch bytes outside the 32 frames.
+static void decode_raw_block32f_mono(const uint8_t* frames, int64_t fstride,
+                                     int64_t W, int64_t out_stride,
+                                     int16_t* out) {
+  alignas(64) int32_t st[8 * 32];
+  for (int j = 0; j < 32; ++j) {
+    const uint8_t* p = frames + j * fstride + 8;
+    for (int r = 0; r < 4; ++r) {
+      const uint8_t* h = p + 2 * r;
+      const uint8_t* wt = p + 8 + 2 * r;
+      st[r * 32 + j] = (int32_t)(int16_t)((uint16_t(h[0]) << 8) | h[1]);
+      st[(4 + r) * 32 + j] =
+          (int32_t)(int16_t)((uint16_t(wt[0]) << 8) | wt[1]);
+    }
+  }
+  DecGroup A, B;
+  dec_load_state(A, st, 32, 0);
+  dec_load_state(B, st, 32, 16);
+  alignas(64) int16_t tile[20 * 32];
+  const uint8_t* wbase = frames + 8 + 16;  // frame header u64 + 1x16B LMS
+
+#define QOA_DSTEP(K)                      \
+  dec_step<K>(A, tile + (int64_t)K * 32); \
+  dec_step<K>(B, tile + (int64_t)K * 32 + 16)
+#define QOA_MONO_WINDOW(WIN)                                        \
+  do {                                                              \
+    QOA_DSTEP(0); QOA_DSTEP(1); QOA_DSTEP(2); QOA_DSTEP(3);         \
+    QOA_DSTEP(4); QOA_DSTEP(5); QOA_DSTEP(6); QOA_DSTEP(7);         \
+    QOA_DSTEP(8); QOA_DSTEP(9); QOA_DSTEP(10); QOA_DSTEP(11);       \
+    QOA_DSTEP(12); QOA_DSTEP(13); QOA_DSTEP(14); QOA_DSTEP(15);     \
+    QOA_DSTEP(16); QOA_DSTEP(17); QOA_DSTEP(18); QOA_DSTEP(19);     \
+    int16_t* dst[32];                                               \
+    for (int j = 0; j < 32; ++j)                                    \
+      dst[j] = out + j * out_stride + (WIN)*kSliceLen;              \
+    tile_store_mono(reinterpret_cast<const uint32_t*>(tile), dst);  \
+  } while (0)
+
+  int64_t w = 0;
+  __m512i ael, aeh, aol, aoh, bel, beh, bol, boh;
+  for (; w + 1 < W; w += 2) {
+    const uint8_t* rowp = wbase + w * 8;
+    dec_load_wpair_raw_mono(ael, aeh, aol, aoh, rowp, fstride);
+    dec_load_wpair_raw_mono(bel, beh, bol, boh, rowp + 16 * fstride,
+                            fstride);
+    dec_finish_window_bytes(A, ael, aeh);
+    dec_finish_window_bytes(B, bel, beh);
+    QOA_MONO_WINDOW(w);
+    dec_finish_window_bytes(A, aol, aoh);
+    dec_finish_window_bytes(B, bol, boh);
+    QOA_MONO_WINDOW(w + 1);
+  }
+  if (w < W) {  // odd W: reuse the (W-2, W-1) pair's odd half
+    const uint8_t* rowp = wbase + (w - 1) * 8;
+    dec_load_wpair_raw_mono(ael, aeh, aol, aoh, rowp, fstride);
+    dec_load_wpair_raw_mono(bel, beh, bol, boh, rowp + 16 * fstride,
+                            fstride);
+    dec_finish_window_bytes(A, aol, aoh);
+    dec_finish_window_bytes(B, bol, boh);
+    QOA_MONO_WINDOW(w);
+  }
+#undef QOA_MONO_WINDOW
+#undef QOA_DSTEP
 }
 
 }  // namespace
@@ -929,6 +1028,42 @@ void qoa_decode_interleaved_stereo_raw(const uint8_t* data, int64_t offset,
   qoa_gather_frames(data, offset, F_full, frame_bytes, 2, W, W, n, wall,
                     stall);
   qoa_decode_interleaved_stereo(wall, stall, W, n, out);
+  delete[] wall;
+  delete[] stall;
+#endif
+}
+
+// Mono sibling of qoa_decode_interleaved_stereo_raw: F_full uniform
+// mono frames of frame_bytes == 8 + 16 + W*8 each; out is
+// (F_full * W * 20,) int16.  W < 2 (single-window frames) and the
+// <32-frame remainder route through the gather + array kernel; non-
+// AVX-512 tiers compose gather + array kernel for the whole range.
+void qoa_decode_interleaved_mono_raw(const uint8_t* data, int64_t offset,
+                                     int64_t F_full, int64_t frame_bytes,
+                                     int64_t W, int16_t* out) {
+  const int64_t stride = W * kSliceLen;
+#ifdef QOA_FUSED_DECODE
+  int64_t f = 0;
+  if (W >= 2)
+    for (; f + 32 <= F_full; f += 32)
+      decode_raw_block32f_mono(data + offset + f * frame_bytes, frame_bytes,
+                               W, stride, out + f * stride);
+  const int64_t rem = F_full - f;
+  if (rem) {
+    uint64_t* wrem = new uint64_t[W * rem];
+    int32_t* strem = new int32_t[8 * rem];
+    qoa_gather_frames(data, offset + f * frame_bytes, rem, frame_bytes, 1, W,
+                      W, rem, wrem, strem);
+    qoa_decode_interleaved_mono(wrem, strem, W, rem, out + f * stride);
+    delete[] wrem;
+    delete[] strem;
+  }
+#else
+  uint64_t* wall = new uint64_t[W * F_full];
+  int32_t* stall = new int32_t[8 * F_full];
+  qoa_gather_frames(data, offset, F_full, frame_bytes, 1, W, W, F_full, wall,
+                    stall);
+  qoa_decode_interleaved_mono(wall, stall, W, F_full, out);
   delete[] wall;
   delete[] stall;
 #endif

@@ -617,25 +617,22 @@ class QoaDecoder:
         # the reference reads spc from every header, src/lib.rs:217-225 —
         # where the fused interleave+trim's single trailing trim would
         # corrupt every frame after the first)
-        if C == 2 and native.has_fused_interleaved():
+        if C in (1, 2) and native.has_fused_interleaved():
             # raw-bytes kernel: words + LMS read straight from the slab
             matched = self._match_slab()
             if matched is None:
                 return None
             m, data, fs, nw = matched
-            full = native.decode_interleaved_stereo_raw(data, 0, m, fs, nw)
+            full = native.decode_interleaved_raw(data, 0, m, fs, nw, C)
         else:
             parsed = self._parse_slab()
             if parsed is None:
                 return None
             m, words_be, state, nw = parsed
-            if C == 1 and native.has_fused_interleaved():
-                full = native.decode_interleaved(words_be, state, C)
-            else:
-                dec = native.decode_chains(words_be, state)
-                full = native.interleave_trim(
-                    dec, m, C, m * nw * fmt.QOA_SLICE_LEN
-                )
+            dec = native.decode_chains(words_be, state)
+            full = native.interleave_trim(
+                dec, m, C, m * nw * fmt.QOA_SLICE_LEN
+            )
         full = full.reshape(m, nw * fmt.QOA_SLICE_LEN, C)
         hdr = FrameHeader(C, self._mode.sample_rate, spc)
         items = [(hdr, full[i, :spc].reshape(-1), True) for i in range(m)]
@@ -654,25 +651,14 @@ class QoaDecoder:
         from . import native
 
         C = self._mode.channels
-        if C == 2:
-            # raw-bytes kernel straight from the slab into dst
-            matched = self._match_slab(want_frames)
-            if matched is None:
-                return 0
-            m, data, fs, nw = matched
-            native.decode_interleaved_stereo_raw(
-                data, 0, m, fs, nw,
-                out=dst[: m * nw * fmt.QOA_SLICE_LEN * 2].reshape(-1, 2),
-            )
-            return m
-        parsed = self._parse_slab(want_frames)
-        if parsed is None:
+        # raw-bytes kernel straight from the slab into dst (the caller
+        # guarantees the fused engine, so C is 1 or 2 here)
+        matched = self._match_slab(want_frames)
+        if matched is None:
             return 0
-        m, words_be, state, nw = parsed
-        native.decode_interleaved(
-            words_be,
-            state,
-            C,
+        m, data, fs, nw = matched
+        native.decode_interleaved_raw(
+            data, 0, m, fs, nw, C,
             out=dst[: m * nw * fmt.QOA_SLICE_LEN * C].reshape(-1, C),
         )
         return m

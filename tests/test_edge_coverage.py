@@ -311,6 +311,7 @@ void qoa_interleave() {}
 void qoa_decode_interleaved_stereo() {}
 void qoa_decode_interleaved_mono() {}
 void qoa_decode_interleaved_stereo_raw() {}
+void qoa_decode_interleaved_mono_raw() {}
 long qoa_has_fused_interleaved() { return 0; }
 void qoa_encode_windows() {}
 void qoa_encode_file() {}

@@ -292,6 +292,56 @@ def test_decode_raw_stereo_matches_oracle_various():
         ), (F_full, tail_spc)
 
 
+def test_decode_raw_mono_matches_oracle_various():
+    """The raw-bytes fused MONO decode (two windows per 128-bit load
+    round, paired-window permute split) must reproduce the scalar oracle
+    bit-for-bit across its dispatch boundaries: the 32-frame block edge,
+    the gathered remainder, odd vs even window counts (the odd tail
+    window re-uses the last pair's odd half), the W==1 gather-only route,
+    and short tail frames."""
+    from qoaudio_tpu import bitstream as bs
+
+    rng = np.random.default_rng(47)
+
+    def build(spc, F_full, tail_spc):
+        frames = []
+        specs = [spc] * F_full + ([tail_spc] if tail_spc else [])
+        for s in specs:
+            nw = -(-s // 20)
+            words = rng.integers(
+                0, 1 << 63, size=(nw, 1), dtype=np.int64
+            ).astype(np.uint64) | (
+                rng.integers(0, 16, size=(nw, 1), dtype=np.uint64)
+                << np.uint64(60)
+            )
+            hist = rng.integers(-32768, 32768, (1, 4)).astype(np.int32)
+            wts = rng.choice(
+                np.array([-32768, -16384, 16383, 32767], np.int32),
+                size=(1, 4),
+            )
+            frames.append(bs.build_frame_bytes(1, 44100, s, hist, wts, words))
+        total = spc * F_full + tail_spc
+        return fmt.pack_file_header(total) + b"".join(frames)
+
+    for spc, F_full, tail_spc in [
+        (100, 1, 0),      # gather remainder only
+        (100, 31, 0), (100, 32, 0), (100, 33, 37),  # block edge +- 1
+        (100, 65, 80),    # two blocks + remainder + tail
+        (60, 32, 0),      # odd W (3): the re-loaded final pair path
+        (20, 34, 0),      # W == 1: whole range through the gather route
+        (40, 32, 0),      # even minimal W for the paired loop
+    ]:
+        data = build(spc, F_full, tail_spc)
+        geo = bs.parse_file_geometry(data)
+        assert geo is not None and geo.F_full == F_full, (spc, F_full)
+        _, _, want = ref.decode_all_py(data)
+        out = codec.decode_all(data, backend="native")
+        assert out.num_channels == 1
+        assert np.array_equal(
+            out.samples, np.asarray(want, np.int16)
+        ), (spc, F_full, tail_spc)
+
+
 def test_decode_range_raw_path_matches_full_decode():
     """decode_range's raw fast path (geometry probe + byte-offset raw
     kernel, O(range)) must agree with the full decode on ranges covering
