@@ -388,6 +388,36 @@ def test_decode_raw_stereo_out_contract():
         )
 
 
+def test_decode_raw_mono_out_contract():
+    """decode_interleaved_mono_raw validates the out= buffer shape and
+    the frame range against the data buffer."""
+    if not native.has_fused_interleaved():
+        pytest.skip("fused kernel tier unavailable")
+    from qoaudio_tpu import bitstream as bs
+
+    n = 5120 * 2
+    pcm = make_noise(n, channels=1)
+    data = codec.encode_all(
+        pcm.reshape(-1), QoaDesc(channels=1, sample_rate=44100, samples=n)
+    )
+    geo = bs.parse_file_geometry(data)
+    assert geo is not None
+    with pytest.raises(ValueError):
+        native.decode_interleaved_mono_raw(
+            data, fmt.QOA_HEADER_SIZE, geo.F_full, geo.frame_bytes, geo.W0,
+            out=np.empty((3, 1), np.int16),
+        )
+    with pytest.raises(ValueError):
+        native.decode_interleaved_mono_raw(
+            data, fmt.QOA_HEADER_SIZE, geo.F_full + 1, geo.frame_bytes,
+            geo.W0,
+        )
+    with pytest.raises(ValueError):
+        native.decode_interleaved_raw(
+            data, fmt.QOA_HEADER_SIZE, geo.F_full, geo.frame_bytes, geo.W0, 3
+        )
+
+
 def test_decode_interleaved_stereo_equals_pair():
     """The fused decode->interleaved kernel must reproduce the
     decode_chains + interleave_trim pair bit-for-bit on adversarial
