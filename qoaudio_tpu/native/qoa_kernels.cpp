@@ -1799,6 +1799,108 @@ void encode_windows_c(const int16_t* __restrict__ x,
   }
 }
 
+// Mono full-16 window: the pairwise layout wastes half the 512-bit
+// vector on C == 1 (the second channel half just duplicates the first),
+// so mono instead continues ALL 16 scalefactors in the one chain —
+// constants are the global identity-sf table vectors (no gathers),
+// there is no pairwise selection, and there are NO stragglers: nothing
+// is discarded, so the argmin over all 16 lanes IS the spec winner,
+// lexicographic in (total, first, sf) like the reference's sorted-order
+// search with early exits (src/lib.rs:495-596).  Besides the flat win
+// this makes mono encode signal-robust — the pairwise path's scalar
+// straggler evaluations scale with signal hardness (noisy mono measured
+// ~2x slower than a sine; experiments/cpp_encode_mono16.py).  Wrap-risk
+// lanes fall back to the exact full-16 window exactly like the pairwise
+// path.
+static void encode_windows_mono16(const int16_t* __restrict__ x,
+                                  const int32_t* __restrict__ lens,
+                                  int64_t W, int32_t* __restrict__ state,
+                                  uint64_t* __restrict__ words) {
+  for (int64_t w = 0; w < W; ++w) {
+    const int len = lens[w];
+    if (len <= 0) continue;
+    const int16_t* xw = x + w * kSliceLen;
+    const int32_t h0 = state[0], h1 = state[1], h2 = state[2],
+                  h3 = state[3];
+    const int32_t w0 = state[4], w1 = state[5], w2 = state[6],
+                  w3 = state[7];
+    // weights beyond i16 cannot pack for vpmaddwd -> exact full-16
+    // window (history is always i16: clamped reconstructions)
+    if (((w0 + 32768) | (w1 + 32768) | (w2 + 32768) | (w3 + 32768)) >>
+        16) {
+      ++g_fallback_count;
+      exact_window_channel(xw, 1, 0, len, state, &words[w]);
+      continue;
+    }
+    Cont16 S;
+    S.HA = vbroadcast((int32_t)((h0 & 0xFFFF) | ((uint32_t)h1 << 16)));
+    S.HB = vbroadcast((int32_t)((h2 & 0xFFFF) | ((uint32_t)h3 << 16)));
+    S.WA = vbroadcast((int32_t)((w0 & 0xFFFF) | ((uint32_t)w1 << 16)));
+    S.WB = vbroadcast((int32_t)((w2 & 0xFFFF) | ((uint32_t)w3 << 16)));
+    S.M0 = kMag0V;
+    S.D1 = kD1V;
+    S.D2 = kD2V;
+    S.D3 = kD3V;
+    S.T2P = kT2PV;
+    S.T4P = kT4PV;
+    S.T6P = kT6PV;
+    S.T2N = kT2NV;
+    S.T4N = kT4NV;
+    S.T6N = kT6NV;
+    S.WLIM = kWLimV;
+    S.rank_lo = v16u{};
+    S.rank_hi = v16u{};
+    S.word_hi = kSfBitsV;
+    S.word_lo = v16u{};
+    __mmask16 wlim = 0;
+    __mmask32 wovfA = 0, wovfB = 0;
+    v16u first_lo{}, first_hi{};
+    for (int k = 0; k < len; ++k) {
+      step16g(S, vbroadcast((int32_t)xw[k]), k, wlim, wovfA, wovfB);
+      if (k == 0) {
+        first_lo = S.rank_lo;
+        first_hi = S.rank_hi;
+      }
+    }
+    if (wlim | _mm512_test_epi32_mask(_mm512_movm_epi16(wovfA | wovfB),
+                                      _mm512_set1_epi32(-1))) {
+      ++g_fallback_count;
+      exact_window_channel(xw, 1, 0, len, state, &words[w]);
+      continue;
+    }
+    const v16i kIota16 = {0, 1, 2,  3,  4,  5,  6,  7,
+                          8, 9, 10, 11, 12, 13, 14, 15};
+    const HalfWin hw = argmin_halves(S.rank_hi, S.rank_lo, first_hi,
+                                     first_lo, kIota16);
+    // global winner = the lexicographically better half; equal keys keep
+    // half 0 (its sfs 0-7 are all lower than half 1's)
+    const int h =
+        (hw.total[1] < hw.total[0] ||
+         (hw.total[1] == hw.total[0] &&
+          (hw.first[1] < hw.first[0] ||
+           (hw.first[1] == hw.first[0] && hw.sf[1] < hw.sf[0]))))
+            ? 1
+            : 0;
+    const __m512i li = _mm512_set1_epi32(hw.lane[h]);
+    auto lane32 = [&](v16i v) {
+      return _mm_cvtsi128_si32(_mm512_castsi512_si128(
+          _mm512_permutexvar_epi32(li, (__m512i)v)));
+    };
+    const int32_t ha = lane32(S.HA), hb = lane32(S.HB);
+    const int32_t wa = lane32(S.WA), wb = lane32(S.WB);
+    state[0] = (int32_t)(int16_t)(ha & 0xFFFF);
+    state[1] = ha >> 16;
+    state[2] = (int32_t)(int16_t)(hb & 0xFFFF);
+    state[3] = hb >> 16;
+    state[4] = (int32_t)(int16_t)(wa & 0xFFFF);
+    state[5] = wa >> 16;
+    state[6] = (int32_t)(int16_t)(wb & 0xFFFF);
+    state[7] = wb >> 16;
+    words[w] = (uint64_t((uint32_t)lane32((v16i)S.word_hi)) << 32) |
+               (uint32_t)lane32((v16i)S.word_lo);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -1810,7 +1912,7 @@ int64_t qoa_encode_fallbacks(void) { return g_fallback_count; }
 void qoa_encode_windows(const int16_t* x, const int32_t* lens, int64_t W,
                         int64_t C, int32_t* state, uint64_t* words) {
   switch (C) {
-    case 1: encode_windows_c<1>(x, lens, W, state, words); break;
+    case 1: encode_windows_mono16(x, lens, W, state, words); break;
     case 2: encode_windows_c<2>(x, lens, W, state, words); break;
     case 3: encode_windows_c<3>(x, lens, W, state, words); break;
     case 4: encode_windows_c<4>(x, lens, W, state, words); break;
