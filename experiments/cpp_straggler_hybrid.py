@@ -1,0 +1,280 @@
+"""Straggler hybrid: re-vectorize straggler-heavy windows.
+
+The pairwise encoder resolves discarded candidates whose first-sample
+rank does not exceed the winner's total by walking each one SCALAR with
+early abandon.  On real music ~0.3 qualify per window; on hard signals
+the bound is loose and many qualify (measured 5.0/window on noisy-sine
+stereo, 7.9 on uniform random) and each walk runs long — noisy stereo
+encodes at ~31 Msps vs ~105 for a sine on the same build.
+
+vH here counts the qualifying lanes (popcount of the vectorized
+qualification mask) and, when more than K qualify, re-runs the whole
+window for that channel on exact_window_channel — ONE full-16 vector
+window (the argmin over all 16 candidates IS the spec winner from the
+original state) instead of up-to-8 scalar 19-step walks.  K is the
+crossover: a scalar walk is ~len steps of ~15 scalar ops; the exact
+vector window is len step16 calls resolving everything.
+
+Gates: byte-identical words + state vs the shipped kernel on the
+stereo fixture, sine, noisy sine, and uniform random (stereo + 4ch).
+Timing: same-process interleaved best-of-N via qoa_encode_file.
+
+Round 1 (exact resolver, K in {2,3,4}): bit-exact, but WINS ONLY on
+random (15.4 -> 25.5 Msps, 1.65x stereo; 16.5 -> 26.7, 1.62x 4ch) —
+fixture/sine/noisy flat-to-slightly-down.  On noisy the scalar walks
+abort EARLY (the bound is near-optimal), so 5 short walks still beat
+one exact full-16 window: step16 (exact vpmulld form) is ~2-3x the cost
+of step16g per step.
+
+Round 2 (vF: FAST resolver — the mono16 threshold-quantizer full-16
+machinery generalized to strided channels, exact fallback only on wrap
+flags; K in {0,1,2}): WIN, integrated at K=2 as fast16_window_channel.
+Two sessions, interleaved best-of-10 (Msps, v0 -> F2):
+    fixture stereo : 85.6->94.8 / 91.4->89.6 (a wash within VM noise)
+    sine stereo    : 96.2->94.6 / 96.5->98.6 (a wash)
+    noisy stereo   : 36.9->47.4 / 31.6->40.8 (1.29x both)
+    random stereo  : 18.8->27.7 / 17.3->29.4 (1.47-1.70x)
+    random 4ch     : 18.1->30.2 / 19.9->29.8 (1.50-1.67x)
+On random the fast resolver's wrap flags fire and it re-runs exact
+(double work) — exact-first (K2 column) edges it there (30.1 vs 28.7)
+but loses everywhere else; fast-first is the uniform choice.  The
+transforms anchor the PRE-integration source (commit b0aee7b); the
+shipped kernel now already contains fast16_window_channel + the K=2
+branch, so run this against that commit's qoa_kernels.cpp to reproduce.
+"""
+import ctypes
+import os
+import subprocess
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "..", "qoaudio_tpu", "native", "qoa_kernels.cpp")
+
+QUAL_OLD = """        if (!(qual & 0xFF)) goto no_stragglers;
+      }"""
+QUAL_NEW = """        if (!(qual & 0xFF)) goto no_stragglers;
+        if (__builtin_popcount(qual & 0xFF) > QOA_STRAG_K) {
+          // straggler-heavy window: one exact full-16 vector window
+          // resolves all candidates from the original state
+          ++g_fallback_count;
+          exact_window_channel(xw, C, c, len, state, &words[w * C + c]);
+          continue;
+        }
+      }"""
+
+
+def vH(k):
+    def t(src):
+        assert QUAL_OLD in src
+        return (f"#define QOA_STRAG_K {k}\n"
+                + src.replace(QUAL_OLD, QUAL_NEW))
+    return t
+
+
+# ---- round 2: fast full-16 resolver (threshold-quantizer step) ----
+
+FAST16_FN = r"""
+// experiment: fast full-16 window for one channel — all 16 sfs continue
+// on the threshold-quantizer step16g (identity-sf constants); returns
+// false on wrap risk (caller uses the exact path).
+static bool fast16_window_channel(const int16_t* xw, int C, int c, int len,
+                                  int32_t* state, uint64_t* word_out) {
+  const int32_t h0 = state[0 * C + c], h1 = state[1 * C + c],
+                h2 = state[2 * C + c], h3 = state[3 * C + c];
+  const int32_t w0 = state[4 * C + c], w1 = state[5 * C + c],
+                w2 = state[6 * C + c], w3 = state[7 * C + c];
+  if (((w0 + 32768) | (w1 + 32768) | (w2 + 32768) | (w3 + 32768)) >> 16)
+    return false;
+  Cont16 S;
+  S.HA = vbroadcast((int32_t)((h0 & 0xFFFF) | ((uint32_t)h1 << 16)));
+  S.HB = vbroadcast((int32_t)((h2 & 0xFFFF) | ((uint32_t)h3 << 16)));
+  S.WA = vbroadcast((int32_t)((w0 & 0xFFFF) | ((uint32_t)w1 << 16)));
+  S.WB = vbroadcast((int32_t)((w2 & 0xFFFF) | ((uint32_t)w3 << 16)));
+  S.M0 = kMag0V;
+  S.D1 = kD1V;
+  S.D2 = kD2V;
+  S.D3 = kD3V;
+  S.T2P = kT2PV;
+  S.T4P = kT4PV;
+  S.T6P = kT6PV;
+  S.T2N = kT2NV;
+  S.T4N = kT4NV;
+  S.T6N = kT6NV;
+  S.WLIM = kWLimV;
+  S.rank_lo = v16u{};
+  S.rank_hi = v16u{};
+  S.word_hi = kSfBitsV;
+  S.word_lo = v16u{};
+  __mmask16 wlim = 0;
+  __mmask32 wovfA = 0, wovfB = 0;
+  v16u first_lo{}, first_hi{};
+  for (int k = 0; k < len; ++k) {
+    step16g(S, vbroadcast((int32_t)xw[k * C + c]), k, wlim, wovfA, wovfB);
+    if (k == 0) {
+      first_lo = S.rank_lo;
+      first_hi = S.rank_hi;
+    }
+  }
+  if (wlim | _mm512_test_epi32_mask(_mm512_movm_epi16(wovfA | wovfB),
+                                    _mm512_set1_epi32(-1)))
+    return false;
+  const v16i kIota16 = {0, 1, 2,  3,  4,  5,  6,  7,
+                        8, 9, 10, 11, 12, 13, 14, 15};
+  const HalfWin hw = argmin_halves(S.rank_hi, S.rank_lo, first_hi,
+                                   first_lo, kIota16);
+  const int h =
+      (hw.total[1] < hw.total[0] ||
+       (hw.total[1] == hw.total[0] &&
+        (hw.first[1] < hw.first[0] ||
+         (hw.first[1] == hw.first[0] && hw.sf[1] < hw.sf[0]))))
+          ? 1
+          : 0;
+  const __m512i li = _mm512_set1_epi32(hw.lane[h]);
+  auto lane32 = [&](v16i v) {
+    return _mm_cvtsi128_si32(_mm512_castsi512_si128(
+        _mm512_permutexvar_epi32(li, (__m512i)v)));
+  };
+  const int32_t ha = lane32(S.HA), hb = lane32(S.HB);
+  const int32_t wa = lane32(S.WA), wb = lane32(S.WB);
+  state[0 * C + c] = (int32_t)(int16_t)(ha & 0xFFFF);
+  state[1 * C + c] = ha >> 16;
+  state[2 * C + c] = (int32_t)(int16_t)(hb & 0xFFFF);
+  state[3 * C + c] = hb >> 16;
+  state[4 * C + c] = (int32_t)(int16_t)(wa & 0xFFFF);
+  state[5 * C + c] = wa >> 16;
+  state[6 * C + c] = (int32_t)(int16_t)(wb & 0xFFFF);
+  state[7 * C + c] = wb >> 16;
+  *word_out = (uint64_t((uint32_t)lane32((v16i)S.word_hi)) << 32) |
+              (uint32_t)lane32((v16i)S.word_lo);
+  return true;
+}
+
+template <int C>
+void encode_windows_c("""
+
+FAST16_ANCHOR = """template <int C>
+void encode_windows_c("""
+
+QUAL_NEW_FAST = """        if (!(qual & 0xFF)) goto no_stragglers;
+        if (__builtin_popcount(qual & 0xFF) > QOA_STRAG_K) {
+          // straggler-heavy window: one fast full-16 vector window
+          // resolves all candidates from the original state
+          ++g_fallback_count;
+          if (!fast16_window_channel(xw, C, c, len, state,
+                                     &words[w * C + c]))
+            exact_window_channel(xw, C, c, len, state, &words[w * C + c]);
+          continue;
+        }
+      }"""
+
+
+def vF(k):
+    def t(src):
+        assert QUAL_OLD in src and FAST16_ANCHOR in src
+        src = src.replace(FAST16_ANCHOR, FAST16_FN)
+        return (f"#define QOA_STRAG_K {k}\n"
+                + src.replace(QUAL_OLD, QUAL_NEW_FAST))
+    return t
+
+
+def build(name, transform):
+    src = transform(open(SRC).read())
+    work = f"/tmp/qoa_strag_{name}.cpp"
+    so = f"/tmp/qoa_strag_{name}.so"
+    open(work, "w").write(src)
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-mprefer-vector-width=512",
+         "-fno-strict-aliasing", "-shared", "-fPIC", "-o", so, work],
+        check=True,
+    )
+    lib = ctypes.CDLL(so)
+    i64 = ctypes.c_int64
+    p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.qoa_encode_file.argtypes = [
+        p_i16, p_i32, i64, i64, i64, p_i32, p_u64, p_i32
+    ]
+    return lib
+
+
+def signals():
+    import sys
+    sys.path.insert(0, os.path.join(HERE, ".."))
+    from qoaudio_tpu import codec
+
+    data = open(os.path.join(
+        HERE, "..", "tests", "fixtures", "julien_baker_sprained_ankle.qoa",
+    ), "rb").read()
+    out = codec.decode_all(data, backend="native")
+    fix = np.ascontiguousarray(out.samples.reshape(-1, 2))
+    n = 1200000
+    t = np.arange(n)
+    rng = np.random.default_rng(3)
+    base = 9000 * np.sin(2 * np.pi * 220 * t / 44100)
+    mk = lambda a: np.ascontiguousarray(
+        np.stack([a, np.roll(a, 7)], axis=1).astype(np.int16))
+    sigs = {
+        "fixture": (fix, 2),
+        "sine": (mk(base), 2),
+        "noisy": (mk(base + rng.normal(0, 900, n)), 2),
+        "random": (rng.integers(-32768, 32768, (n, 2)).astype(np.int16), 2),
+        "random4": (rng.integers(-32768, 32768, (n // 2, 4)).astype(np.int16),
+                    4),
+    }
+    return sigs
+
+
+def encode(lib, pcm, C):
+    spc = pcm.shape[0]
+    W = -(-spc // 20)
+    lens = np.full(W, 20, np.int32)
+    lens[-1] = spc - (W - 1) * 20
+    x = np.zeros((W * 20, C), np.int16)
+    x[:spc] = pcm
+    st = np.zeros((8, C), np.int32)
+    st[6] = -(1 << 13)
+    st[7] = 1 << 14
+    words = np.zeros((W, C), np.uint64)
+    snaps = np.empty((-(-W // 256), 8, C), np.int32)
+    t0 = time.perf_counter()
+    lib.qoa_encode_file(x, lens, W, C, 256, st, words, snaps)
+    dt = time.perf_counter() - t0
+    return words, st, dt
+
+
+def main():
+    libs = {"v0": build("v0", lambda s: s)}
+    for k in (2,):
+        libs[f"K{k}"] = build(f"k{k}", vH(k))
+    for k in (0, 1, 2):
+        libs[f"F{k}"] = build(f"f{k}", vF(k))
+    sigs = signals()
+
+    for name, (pcm, C) in sigs.items():
+        ref = encode(libs["v0"], pcm, C)
+        for ln, lib in libs.items():
+            if ln == "v0":
+                continue
+            got = encode(lib, pcm, C)
+            assert np.array_equal(ref[0], got[0]), (name, ln, "words")
+            assert np.array_equal(ref[1], got[1]), (name, ln, "state")
+    print("bit-exactness gate: all K identical to v0 (5 signals)")
+
+    N = 10
+    for name, (pcm, C) in sigs.items():
+        best = {k: float("inf") for k in libs}
+        for _ in range(N):
+            for k, lib in libs.items():
+                best[k] = min(best[k], encode(lib, pcm, C)[2])
+        tot = pcm.size
+        row = "   ".join(
+            f"{k} {tot/best[k]/1e6:6.1f}" for k in libs)
+        print(f"  {name:8s}: {row}  Msps "
+              f"(best ratio {best['v0']/min(best[k] for k in libs):.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1535,6 +1535,92 @@ static void exact_window_channel(const int16_t* xw, int C, int c, int len,
   state[7 * C + c] = S.W3[bs];
 }
 
+// Fast full-16 window for ONE channel: all 16 scalefactors continue on
+// the threshold-quantizer step16g with the identity-sf constant vectors
+// (no gathers), then the argmin over all 16 lanes — which IS the spec
+// winner, lexicographic in (total, first, sf) — writes the word and the
+// carried state.  Returns false without touching state/word on wrap
+// risk (initial weights beyond i16, a |residual| past the threshold
+// validity bound, or an i16 weight overflow mid-window): the caller
+// re-runs on the exact full-16 path.  Used by the mono dispatch (the
+// pairwise layout wastes half the vector on C == 1) and as the
+// straggler-heavy window resolver (experiments/cpp_straggler_hybrid.py).
+static bool fast16_window_channel(const int16_t* xw, int C, int c, int len,
+                                  int32_t* state, uint64_t* word_out) {
+  const int32_t h0 = state[0 * C + c], h1 = state[1 * C + c],
+                h2 = state[2 * C + c], h3 = state[3 * C + c];
+  const int32_t w0 = state[4 * C + c], w1 = state[5 * C + c],
+                w2 = state[6 * C + c], w3 = state[7 * C + c];
+  // weights beyond i16 cannot pack for vpmaddwd (history is always i16:
+  // clamped reconstructions)
+  if (((w0 + 32768) | (w1 + 32768) | (w2 + 32768) | (w3 + 32768)) >> 16)
+    return false;
+  Cont16 S;
+  S.HA = vbroadcast((int32_t)((h0 & 0xFFFF) | ((uint32_t)h1 << 16)));
+  S.HB = vbroadcast((int32_t)((h2 & 0xFFFF) | ((uint32_t)h3 << 16)));
+  S.WA = vbroadcast((int32_t)((w0 & 0xFFFF) | ((uint32_t)w1 << 16)));
+  S.WB = vbroadcast((int32_t)((w2 & 0xFFFF) | ((uint32_t)w3 << 16)));
+  S.M0 = kMag0V;
+  S.D1 = kD1V;
+  S.D2 = kD2V;
+  S.D3 = kD3V;
+  S.T2P = kT2PV;
+  S.T4P = kT4PV;
+  S.T6P = kT6PV;
+  S.T2N = kT2NV;
+  S.T4N = kT4NV;
+  S.T6N = kT6NV;
+  S.WLIM = kWLimV;
+  S.rank_lo = v16u{};
+  S.rank_hi = v16u{};
+  S.word_hi = kSfBitsV;
+  S.word_lo = v16u{};
+  __mmask16 wlim = 0;
+  __mmask32 wovfA = 0, wovfB = 0;
+  v16u first_lo{}, first_hi{};
+  for (int k = 0; k < len; ++k) {
+    step16g(S, vbroadcast((int32_t)xw[k * C + c]), k, wlim, wovfA, wovfB);
+    if (k == 0) {
+      first_lo = S.rank_lo;
+      first_hi = S.rank_hi;
+    }
+  }
+  if (wlim | _mm512_test_epi32_mask(_mm512_movm_epi16(wovfA | wovfB),
+                                    _mm512_set1_epi32(-1)))
+    return false;
+  const v16i kIota16 = {0, 1, 2,  3,  4,  5,  6,  7,
+                        8, 9, 10, 11, 12, 13, 14, 15};
+  const HalfWin hw = argmin_halves(S.rank_hi, S.rank_lo, first_hi,
+                                   first_lo, kIota16);
+  // global winner = the lexicographically better half; equal keys keep
+  // half 0 (its sfs 0-7 are all lower than half 1's)
+  const int h =
+      (hw.total[1] < hw.total[0] ||
+       (hw.total[1] == hw.total[0] &&
+        (hw.first[1] < hw.first[0] ||
+         (hw.first[1] == hw.first[0] && hw.sf[1] < hw.sf[0]))))
+          ? 1
+          : 0;
+  const __m512i li = _mm512_set1_epi32(hw.lane[h]);
+  auto lane32 = [&](v16i v) {
+    return _mm_cvtsi128_si32(_mm512_castsi512_si128(
+        _mm512_permutexvar_epi32(li, (__m512i)v)));
+  };
+  const int32_t ha = lane32(S.HA), hb = lane32(S.HB);
+  const int32_t wa = lane32(S.WA), wb = lane32(S.WB);
+  state[0 * C + c] = (int32_t)(int16_t)(ha & 0xFFFF);
+  state[1 * C + c] = ha >> 16;
+  state[2 * C + c] = (int32_t)(int16_t)(hb & 0xFFFF);
+  state[3 * C + c] = hb >> 16;
+  state[4 * C + c] = (int32_t)(int16_t)(wa & 0xFFFF);
+  state[5 * C + c] = wa >> 16;
+  state[6 * C + c] = (int32_t)(int16_t)(wb & 0xFFFF);
+  state[7 * C + c] = wb >> 16;
+  *word_out = (uint64_t((uint32_t)lane32((v16i)S.word_hi)) << 32) |
+              (uint32_t)lane32((v16i)S.word_lo);
+  return true;
+}
+
 template <int C>
 void encode_windows_c(const int16_t* __restrict__ x,
                       const int32_t* __restrict__ lens, int64_t W,
@@ -1755,6 +1841,20 @@ void encode_windows_c(const int16_t* __restrict__ x,
             (_mm512_cmpeq_epi32_mask(dhi, bt_hi) &
              _mm512_cmple_epu32_mask(dlo, bt_lo));
         if (!(qual & 0xFF)) goto no_stragglers;
+        // straggler-heavy window (hard/noisy signal; the scalar walks
+        // below abort late there): one fast full-16 vector window
+        // resolves ALL candidates from the original state instead.
+        // Threshold 2 measured best — 1.3x noisy / 1.6-1.7x random
+        // stereo, a wash on real music where ~84% of windows skip the
+        // scan and the rest carry 1-2 stragglers
+        // (experiments/cpp_straggler_hybrid.py)
+        if (__builtin_popcount((unsigned)(qual & 0xFF)) > 2) {
+          ++g_fallback_count;
+          if (!fast16_window_channel(xw, C, c, len, state,
+                                     &words[w * C + c]))
+            exact_window_channel(xw, C, c, len, state, &words[w * C + c]);
+          continue;
+        }
       }
       for (int j = 0; j < 8; ++j) {
         const uint64_t fs =
@@ -1801,17 +1901,15 @@ void encode_windows_c(const int16_t* __restrict__ x,
 
 // Mono full-16 window: the pairwise layout wastes half the 512-bit
 // vector on C == 1 (the second channel half just duplicates the first),
-// so mono instead continues ALL 16 scalefactors in the one chain —
-// constants are the global identity-sf table vectors (no gathers),
-// there is no pairwise selection, and there are NO stragglers: nothing
-// is discarded, so the argmin over all 16 lanes IS the spec winner,
-// lexicographic in (total, first, sf) like the reference's sorted-order
-// search with early exits (src/lib.rs:495-596).  Besides the flat win
-// this makes mono encode signal-robust — the pairwise path's scalar
-// straggler evaluations scale with signal hardness (noisy mono measured
-// ~2x slower than a sine; experiments/cpp_encode_mono16.py).  Wrap-risk
-// lanes fall back to the exact full-16 window exactly like the pairwise
-// path.
+// so mono instead continues ALL 16 scalefactors in the one chain via
+// fast16_window_channel — there is no pairwise selection and there are
+// NO stragglers: nothing is discarded, so the argmin over all 16 lanes
+// IS the spec winner, lexicographic in (total, first, sf) like the
+// reference's sorted-order search with early exits (src/lib.rs:495-596).
+// Besides the flat win this makes mono encode signal-robust — the
+// pairwise path's scalar straggler evaluations scale with signal
+// hardness (noisy mono measured ~2x slower than a sine;
+// experiments/cpp_encode_mono16.py).
 static void encode_windows_mono16(const int16_t* __restrict__ x,
                                   const int32_t* __restrict__ lens,
                                   int64_t W, int32_t* __restrict__ state,
@@ -1820,84 +1918,10 @@ static void encode_windows_mono16(const int16_t* __restrict__ x,
     const int len = lens[w];
     if (len <= 0) continue;
     const int16_t* xw = x + w * kSliceLen;
-    const int32_t h0 = state[0], h1 = state[1], h2 = state[2],
-                  h3 = state[3];
-    const int32_t w0 = state[4], w1 = state[5], w2 = state[6],
-                  w3 = state[7];
-    // weights beyond i16 cannot pack for vpmaddwd -> exact full-16
-    // window (history is always i16: clamped reconstructions)
-    if (((w0 + 32768) | (w1 + 32768) | (w2 + 32768) | (w3 + 32768)) >>
-        16) {
+    if (!fast16_window_channel(xw, 1, 0, len, state, &words[w])) {
       ++g_fallback_count;
       exact_window_channel(xw, 1, 0, len, state, &words[w]);
-      continue;
     }
-    Cont16 S;
-    S.HA = vbroadcast((int32_t)((h0 & 0xFFFF) | ((uint32_t)h1 << 16)));
-    S.HB = vbroadcast((int32_t)((h2 & 0xFFFF) | ((uint32_t)h3 << 16)));
-    S.WA = vbroadcast((int32_t)((w0 & 0xFFFF) | ((uint32_t)w1 << 16)));
-    S.WB = vbroadcast((int32_t)((w2 & 0xFFFF) | ((uint32_t)w3 << 16)));
-    S.M0 = kMag0V;
-    S.D1 = kD1V;
-    S.D2 = kD2V;
-    S.D3 = kD3V;
-    S.T2P = kT2PV;
-    S.T4P = kT4PV;
-    S.T6P = kT6PV;
-    S.T2N = kT2NV;
-    S.T4N = kT4NV;
-    S.T6N = kT6NV;
-    S.WLIM = kWLimV;
-    S.rank_lo = v16u{};
-    S.rank_hi = v16u{};
-    S.word_hi = kSfBitsV;
-    S.word_lo = v16u{};
-    __mmask16 wlim = 0;
-    __mmask32 wovfA = 0, wovfB = 0;
-    v16u first_lo{}, first_hi{};
-    for (int k = 0; k < len; ++k) {
-      step16g(S, vbroadcast((int32_t)xw[k]), k, wlim, wovfA, wovfB);
-      if (k == 0) {
-        first_lo = S.rank_lo;
-        first_hi = S.rank_hi;
-      }
-    }
-    if (wlim | _mm512_test_epi32_mask(_mm512_movm_epi16(wovfA | wovfB),
-                                      _mm512_set1_epi32(-1))) {
-      ++g_fallback_count;
-      exact_window_channel(xw, 1, 0, len, state, &words[w]);
-      continue;
-    }
-    const v16i kIota16 = {0, 1, 2,  3,  4,  5,  6,  7,
-                          8, 9, 10, 11, 12, 13, 14, 15};
-    const HalfWin hw = argmin_halves(S.rank_hi, S.rank_lo, first_hi,
-                                     first_lo, kIota16);
-    // global winner = the lexicographically better half; equal keys keep
-    // half 0 (its sfs 0-7 are all lower than half 1's)
-    const int h =
-        (hw.total[1] < hw.total[0] ||
-         (hw.total[1] == hw.total[0] &&
-          (hw.first[1] < hw.first[0] ||
-           (hw.first[1] == hw.first[0] && hw.sf[1] < hw.sf[0]))))
-            ? 1
-            : 0;
-    const __m512i li = _mm512_set1_epi32(hw.lane[h]);
-    auto lane32 = [&](v16i v) {
-      return _mm_cvtsi128_si32(_mm512_castsi512_si128(
-          _mm512_permutexvar_epi32(li, (__m512i)v)));
-    };
-    const int32_t ha = lane32(S.HA), hb = lane32(S.HB);
-    const int32_t wa = lane32(S.WA), wb = lane32(S.WB);
-    state[0] = (int32_t)(int16_t)(ha & 0xFFFF);
-    state[1] = ha >> 16;
-    state[2] = (int32_t)(int16_t)(hb & 0xFFFF);
-    state[3] = hb >> 16;
-    state[4] = (int32_t)(int16_t)(wa & 0xFFFF);
-    state[5] = wa >> 16;
-    state[6] = (int32_t)(int16_t)(wb & 0xFFFF);
-    state[7] = wb >> 16;
-    words[w] = (uint64_t((uint32_t)lane32((v16i)S.word_hi)) << 32) |
-               (uint32_t)lane32((v16i)S.word_lo);
   }
 }
 
