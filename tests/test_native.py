@@ -59,6 +59,31 @@ def test_native_encode_matches_oracle_various():
         assert got == want, f"native encode != oracle (C={c}, T={s})"
 
 
+def test_native_encode_straggler_heavy_windows_match_oracle():
+    """Hard signals drive many discarded candidates back over the winner
+    bound; windows with >2 qualifying stragglers resolve on the fast
+    full-16 vector path (fast16_window_channel) instead of scalar walks.
+    Pin that the branch FIRES (the fallback counter moves) and its bytes
+    equal the oracle, for both the pairwise (stereo) and mono16 entries."""
+    lib = native._load()
+    rng = np.random.default_rng(23)
+    n = 4000
+    t = np.arange(n)
+    noisy = (9000 * np.sin(2 * np.pi * 220 * t / 44100)
+             + rng.normal(0, 900, n))
+    cases = [
+        (np.stack([noisy, rng.normal(0, 5000, n)], axis=1)
+         .astype(np.int16).reshape(-1), 2),
+        (rng.integers(-32768, 32768, n).astype(np.int16), 1),
+        (rng.integers(-32768, 32768, 3 * n).astype(np.int16), 3),
+    ]
+    for pcm, c in cases:
+        f0 = lib.qoa_encode_fallbacks()
+        got = codec.encode_all(pcm, QoaDesc(c, 44100, n), backend="native")
+        assert lib.qoa_encode_fallbacks() > f0, f"resolver never fired (C={c})"
+        assert got == ref.encode_all_py(pcm, c, 44100, n), f"C={c}"
+
+
 def test_native_decode_matches_oracle(fixture_bytes):
     out = codec.decode_all(fixture_bytes, backend="native")
     _, _, want = ref.decode_all_np(fixture_bytes)
