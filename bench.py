@@ -63,6 +63,8 @@ HOST_FLOORS = {
     # read straight from the slab run; in-bench idle 1036.8-1086)
     "decode_stream_msps": 850.0,
     "encode_single_file_e2e_msps": 72.0,
+    # mono raw-bytes kernel path (idle best seen 977-1153 in-process)
+    "decode_mono_e2e_msps": 700.0,
 }
 
 
@@ -172,6 +174,26 @@ def bench_host_paths(data, pcm, channels, spc):
         f"host streaming decode: {best*1e3:.1f} ms = "
         f"{out['decode_stream_msps']} Msps"
     )
+
+    # mono decode e2e (the raw mono kernel path): the fixture's left
+    # channel re-encoded mono, decoded one-shot.  No Rust baseline (the
+    # reference benchmarks its stereo fixture only) — recorded so driver
+    # captures track the C == 1 fast path too.
+    if channels == 2 and native.has_fused_interleaved():
+        mono_pcm = np.ascontiguousarray(pcm.reshape(-1, 2)[:, 0])
+        mono_data = codec.encode_all(
+            mono_pcm, QoaDesc(1, 44100, spc), backend="native"
+        )
+        best = float("inf")
+        for _ in range(8):
+            with Stopwatch() as sw:
+                codec.decode_all(mono_data, backend="native")
+            best = min(best, sw.elapsed)
+        out["decode_mono_e2e_msps"] = round(spc / best / 1e6, 1)
+        log(
+            f"host mono decode end-to-end: {best*1e3:.1f} ms = "
+            f"{out['decode_mono_e2e_msps']} Msps"
+        )
 
     desc = QoaDesc(channels, 44100, spc)
     best = float("inf")
