@@ -418,28 +418,30 @@ def _relayout_encode_input(decT, metas, W_enc: int, F_pad: int, Ne: int,
                            Nep: int):
     """Decode-chain layout -> encoder frame layout, (F_pad, W_enc, 20, Nep).
 
-    decT: (Nd, W_enc, 20) transposed decode output.  Dense per-file
-    reshape/transpose blocks (XLA copies; a single 2-D gather over the
-    chain axis compiles to a pathologically slow scatter on TPU),
-    concatenated once along the encode-chain axis.  Shared by the fused
-    jit pipeline and the mesh (shard_map) branch so the two cannot
-    diverge.
+    decT: (Nd, W_enc, 20) transposed decode output.  ONE take along the
+    chain (major) axis with a precomputed (F_pad*Nep,) row index, then a
+    single majors-only transpose.  Invalid slots (f >= F_i, or pad lanes
+    past Ne) point at row 0 — their ``lens`` are 0, so the encode kernel
+    passes state through and their words/snaps are sliced away by the
+    per-file packing; the values never matter.
+
+    The previous per-file reshape/transpose/concat form built 32 blocks
+    whose minor dim was C in {1, 2} — a ~64x tile bloat per block on TPU
+    plus a 32-way concat along the minor axis — and measured ~40-43 ms
+    on the bench corpus where this form measures ~0-2 ms
+    (experiments/tpu_transcode_profile.py).  Shared by the fused jit
+    pipeline and the mesh branch (eager on the global array) so the two
+    cannot diverge.
     """
     import jax.numpy as jnp
 
-    blocks = []
-    for F_i, C, doff, _eoff in metas:
-        k = F_i * C
-        blk = decT[doff : doff + k].reshape(F_i, C, W_enc, fmt.QOA_SLICE_LEN)
-        blk = jnp.transpose(blk, (0, 2, 3, 1))  # (F_i, W_enc, 20, C)
-        if F_i < F_pad:
-            blk = jnp.pad(blk, ((0, F_pad - F_i), (0, 0), (0, 0), (0, 0)))
-        blocks.append(blk)
-    if Nep > Ne:
-        blocks.append(
-            jnp.zeros((F_pad, W_enc, fmt.QOA_SLICE_LEN, Nep - Ne), jnp.int16)
-        )
-    return jnp.concatenate(blocks, axis=3)
+    idx = np.zeros((F_pad, Nep), np.int32)
+    for F_i, C, doff, eoff in metas:
+        for c in range(C):
+            idx[:F_i, eoff + c] = doff + np.arange(F_i) * C + c
+    x = jnp.take(decT, jnp.asarray(idx.reshape(-1)), axis=0)
+    x = x.reshape(F_pad, Nep, W_enc, fmt.QOA_SLICE_LEN)
+    return jnp.transpose(x, (0, 2, 3, 1))
 
 
 def _transcode_fused_fn(metas, W_enc: int, F_pad: int, Ne: int, Nep: int,
