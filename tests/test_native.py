@@ -413,6 +413,40 @@ def test_decode_raw_stereo_out_contract():
         )
 
 
+def test_decode_beyond_encoder_channel_cap_matches_oracle():
+    """The reference DECODER accepts any channel count 1-255 even though
+    its encoder caps at 8 (src/lib.rs:227 vs src/lib.rs:336): it only
+    rejects num_channels == 0.  Streams with C > 8 must decode here too,
+    bit-exact with the oracle, on every backend and the streaming path."""
+    from qoaudio_tpu import bitstream as bs
+    from qoaudio_tpu.streaming import QoaDecoder
+
+    rng = np.random.default_rng(9)
+    C = 12
+    frames = []
+    for spc in (100, 100, 60):
+        nw = -(-spc // 20)
+        words = rng.integers(
+            0, 1 << 63, size=(nw, C), dtype=np.int64
+        ).astype(np.uint64) | (
+            rng.integers(0, 16, size=(nw, C), dtype=np.uint64)
+            << np.uint64(60)
+        )
+        hist = rng.integers(-32768, 32768, (C, 4)).astype(np.int32)
+        wts = rng.integers(-1000, 1000, (C, 4)).astype(np.int32)
+        frames.append(bs.build_frame_bytes(C, 44100, spc, hist, wts, words))
+    data = fmt.pack_file_header(260) + b"".join(frames)
+
+    want_c, _, want = ref.decode_all_py(data)
+    assert want_c == C
+    want = np.asarray(want, np.int16)
+    for backend in ("native", "numpy"):
+        out = codec.decode_all(data, backend=backend)
+        assert out.num_channels == C
+        assert np.array_equal(out.samples, want), backend
+    assert np.array_equal(QoaDecoder(data).decode_pending(), want)
+
+
 def test_decode_raw_mono_out_contract():
     """decode_interleaved_mono_raw validates the out= buffer shape and
     the frame range against the data buffer."""
