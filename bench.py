@@ -55,16 +55,14 @@ HOST_FLOORS = {
     # known-idle capture IN THE BENCH PROCESS — with jax/TPU loaded the
     # same binary runs ~10-15% slower than a bare-python host measurement
     # (decode_all ~435-440 in-bench vs ~495-590 standalone).
-    # decode floors re-raised after the fused decode->interleaved kernel
-    # (experiments/cpp_decode_interleaved.py): in-bench idle best 1480.5 /
-    # 751.7 / 93.6 Msps
-    "decode_e2e_msps": 1150.0,
-    # stream floor re-raised after the raw-bytes slab path (words + LMS
-    # read straight from the slab run; in-bench idle 1036.8-1086)
-    "decode_stream_msps": 850.0,
-    "encode_single_file_e2e_msps": 72.0,
-    # mono raw-bytes kernel path (idle best seen 977-1153 in-process)
-    "decode_mono_e2e_msps": 700.0,
+    # all four re-raised to 0.8x the 2026-08-17 truly-idle in-bench
+    # capture (tunnel down, nothing else on the VM): decode 1518.5,
+    # stream 1648.4 (uncapped whole-run slab), mono 1320.0, encode 108.4
+    # (mono16/fast16 + straggler-hybrid encoder)
+    "decode_e2e_msps": 1210.0,
+    "decode_stream_msps": 1310.0,
+    "encode_single_file_e2e_msps": 86.0,
+    "decode_mono_e2e_msps": 1050.0,
 }
 
 
