@@ -341,6 +341,37 @@ def test_torn_library_rebuilds_and_recovers(monkeypatch, tmp_path):
 # ----------------------------------------------------------- parallel bits
 
 
+def test_relayout_encode_input_matches_dense_reference():
+    """The take-based relayout (one chain-major gather + majors-only
+    transpose) must place every VALID (f < F_i) sample exactly where the
+    dense per-file reshape would; invalid slots may hold anything (their
+    lens are 0).  Mixed channel counts and frame counts, with both lane
+    and frame padding."""
+    import jax.numpy as jnp
+
+    from qoaudio_tpu.parallel import corpus
+
+    rng = np.random.default_rng(17)
+    W_enc, F_pad, Nep = 3, 4, 8
+    # (F_i, C, doff, eoff): 2 files -> Ne = 3 chains, Nd = 7 dec chains
+    metas = ((2, 2, 0, 0), (3, 1, 4, 2))
+    Ne, Nd = 3, 7
+    decT = rng.integers(-32768, 32768, (Nd, W_enc, 20)).astype(np.int16)
+    got = np.asarray(
+        corpus._relayout_encode_input(
+            jnp.asarray(decT), metas, W_enc, F_pad, Ne, Nep
+        )
+    )
+    assert got.shape == (F_pad, W_enc, 20, Nep)
+    for F_i, C, doff, eoff in metas:
+        for f in range(F_i):
+            for c in range(C):
+                want = decT[doff + f * C + c]  # (W_enc, 20)
+                assert np.array_equal(got[f, :, :, eoff + c], want), (
+                    F_i, C, f, c,
+                )
+
+
 def test_stage_word_halves_matches_logical_words():
     from qoaudio_tpu.parallel import corpus
 
