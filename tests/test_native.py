@@ -477,6 +477,36 @@ def test_decode_raw_mono_out_contract():
         )
 
 
+def test_decode_interleaved_array_out_contracts():
+    """The array-form fused kernels validate out= shape/dtype/contiguity
+    and reject unsupported channel counts."""
+    if not native.has_fused_interleaved():
+        pytest.skip("fused kernel tier unavailable")
+    rng = np.random.default_rng(3)
+    W, N = 2, 4
+    words = rng.integers(0, 1 << 63, size=(W, N), dtype=np.int64).astype(
+        np.uint64
+    )
+    st = rng.integers(-100, 100, size=(8, N)).astype(np.int32)
+    with pytest.raises(ValueError):
+        native.decode_interleaved(words, st, 3)
+    with pytest.raises(ValueError):
+        native.decode_interleaved(
+            words[:, :1], st[:, :1], 1, out=np.empty((3, 1), np.int16)
+        )
+    with pytest.raises(ValueError):
+        native.decode_interleaved(
+            words, st, 2, out=np.empty((5, 2), np.int16)
+        )
+    # valid out= buffers round-trip through both channel forms
+    out1 = np.empty((1 * W * 20, 1), np.int16)
+    got1 = native.decode_interleaved(words[:, :1], st[:, :1], 1, out=out1)
+    assert got1 is out1
+    out2 = np.empty(((N // 2) * W * 20, 2), np.int16)
+    got2 = native.decode_interleaved(words, st, 2, out=out2)
+    assert got2 is out2
+
+
 def test_decode_interleaved_stereo_equals_pair():
     """The fused decode->interleaved kernel must reproduce the
     decode_chains + interleave_trim pair bit-for-bit on adversarial
