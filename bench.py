@@ -219,23 +219,68 @@ def chain_launches(fn, state0, x, lens, reps):
     return int(np.asarray(st[0, 0]))
 
 
+def fit_launch_slope(chain, Ks, min_slope, name, min_r2=0.985, tries=3):
+    """Self-validating device timing (the round-4 calibration rule, now a
+    gate): time K chained launches for each K, fit time = slope*K + icept,
+    and accept the slope ONLY if the fit is linear (R^2 >= min_r2), the
+    slope is positive and above the per-kernel plausibility floor, and the
+    intercept is non-garbage.  Some axon-tunnel sessions return wildly-off
+    or even NEGATIVE slopes (suspected tunnel-side batching of the chained
+    dispatches) — exactly the failure mode that hid a 7x-faster decode
+    kernel behind a "7 Gsps structural bottleneck" through round 3.
+
+    Returns (per_launch_seconds | None, rtt_inclusive_bound_seconds): the
+    bound is the whole-chain average at the largest K, a defensible floor
+    (it still contains the dispatch+fetch RTT) for when every rep is
+    rejected."""
+    ks = np.asarray(Ks, float)
+    bound = None
+    for rep in range(tries):
+        ts = np.array([chain(int(k)) for k in Ks], float)
+        bound_rep = ts[-1] / ks[-1]
+        bound = min(bound, bound_rep) if bound is not None else bound_rep
+        slope, icept = np.polyfit(ks, ts, 1)
+        pred = slope * ks + icept
+        ss_tot = float(((ts - ts.mean()) ** 2).sum())
+        r2 = 1.0 - float(((ts - pred) ** 2).sum()) / ss_tot if ss_tot > 0 else 0.0
+        log(
+            f"{name} rep{rep}: "
+            + " ".join(f"K={int(k)}:{t*1e3:.1f}ms" for k, t in zip(ks, ts))
+            + f" -> slope {slope*1e3:.2f} ms, icept {icept*1e3:.1f} ms, "
+            f"R^2 {r2:.4f}"
+        )
+        if slope >= min_slope and r2 >= min_r2 and icept > -abs(slope) * ks[-1]:
+            return slope, bound
+        log(f"{name} rep{rep}: fit rejected (non-linear/implausible); re-rep")
+    log(f"{name}: every rep rejected — only the RTT-inclusive bound is safe")
+    return None, bound
+
+
 def bench_device(fn, name, state0, x, lens, total_samples):
+    """Linearity-gated encode-kernel rate.  Returns (msps | None, floor):
+    msps from the accepted per-launch slope, floor the RTT-inclusive
+    whole-chain bound (always available)."""
     chain_launches(fn, state0, x, lens, 1)  # warm / compile
-    t0 = time.perf_counter()
-    chain_launches(fn, state0, x, lens, 2)
-    d2 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    chain_launches(fn, state0, x, lens, 10)
-    d10 = time.perf_counter() - t0
-    per = (d10 - d2) / 8
+
+    def chain(K):
+        t0 = time.perf_counter()
+        chain_launches(fn, state0, x, lens, K)
+        return time.perf_counter() - t0
+
+    per, bound = fit_launch_slope(chain, (2, 6, 12), 2e-3, name)
+    floor = total_samples / bound / 1e6
+    if per is None:
+        log(f"{name}: REJECTED; floor {floor/1e3:.2f} Gsamples/s")
+        return None, floor
     msps = total_samples / per / 1e6
     log(f"{name}: {per*1e3:.1f} ms/launch = {msps/1e3:.2f} Gsamples/s")
-    return msps
+    return msps, floor
 
 
-def bench_pallas_decode(data) -> float:
+def bench_pallas_decode(data):
     """Batched HBM-resident decode: fixture slice words replicated across
-    the chain axis, Pallas kernel, chained-launch timing."""
+    the chain axis, Pallas kernel, linearity-gated chained-launch timing.
+    Returns (msps | None, rtt_inclusive_floor_msps)."""
     import jax
 
     from qoaudio_tpu import bitstream as bs
@@ -300,38 +345,35 @@ def bench_pallas_decode(data) -> float:
                 "PARITY FAILURE: pallas decode != native engine on fixture"
             )
         log("parity gate: pallas decode bit-exact vs native engine")
-    d2 = chain(2)
-    pers = [(chain(12) - d2) / 10 for _ in range(3)]
-    ok = sorted(p for p in pers if p > 3e-4)  # sub-0.3ms/launch = garbage
-    if ok:
-        per = ok[len(ok) // 2]  # median: tunnel sessions drift both ways
-    else:
-        # nonlinear tunnel session (observed: negative slopes): report the
-        # conservative whole-chain average, which still contains the RTT
-        per = chain(12) / 12
-        log("decode chain slope implausible; reporting RTT-inclusive bound")
-    msps = Wp * 20 * N / per / 1e6
+    total = Wp * 20 * N
+    per, bound = fit_launch_slope(
+        chain, (2, 8, 16, 24), 3e-4, "pallas batched decode"
+    )
+    floor = total / bound / 1e6
+    if per is None:
+        return None, floor
+    msps = total / per / 1e6
     log(f"pallas batched decode: {per*1e3:.2f} ms = {msps/1e3:.2f} Gsamples/s")
-    return msps
+    return msps, floor
 
 
 RUST_TRANSCODE_MSPS = 1.0 / (1.0 / RUST_DECODE_MSPS + 1.0 / RUST_ENCODE_MSPS)
 
 
-def bench_transcode_hbm(pcm, channels) -> "tuple[float, float | None]":
+def bench_transcode_hbm(pcm, channels, emit):
     """North-star deployment shape (BASELINE.json config 5): batched
     multi-file transcode with PCM HBM-resident between the decode and
     encode kernels.  Corpus: 32 files, mixed channels / sample rates /
     lengths, real-music PCM tiled from the fixture.  Parity-gated
     byte-for-byte against the host decode->encode pair before timing;
     the timed number is honest end-to-end (bytes in -> bytes out,
-    including host parse and stream assembly)."""
+    including host parse and stream assembly).  Each metric flushes
+    through ``emit`` the moment it exists, so a later hang cannot
+    discard it."""
     from qoaudio_tpu import codec
-    from qoaudio_tpu.parallel import corpus as _corpus_mod
     from qoaudio_tpu.parallel.corpus import batch_transcode
     from qoaudio_tpu.types import QoaDesc
 
-    _corpus_mod._BENCH_KEEP_FUSED = True  # enable the chip-rate seam
     stereo = np.asarray(pcm).reshape(-1, channels)
     n_src = stereo.shape[0]
     files = []
@@ -353,8 +395,10 @@ def bench_transcode_hbm(pcm, channels) -> "tuple[float, float | None]":
         f"{sum(len(s) for s in streams)/1e6:.1f} MB compressed"
     )
 
-    # warmup (compiles + tunnel) — this run's output also feeds the gate
-    got = batch_transcode(streams)
+    # warmup (compiles + tunnel) — this run's output also feeds the gate;
+    # the returned handle keeps the staged pipeline device-resident for
+    # the chip-rate timing below (explicit API, VERDICT r04 #6)
+    got, fused = batch_transcode(streams, return_fused_handle=True)
     for s, g in zip(streams, got):
         out = codec.decode_all(s, backend="native")
         want = codec.encode_all(
@@ -369,54 +413,49 @@ def bench_transcode_hbm(pcm, channels) -> "tuple[float, float | None]":
     log("parity gate: batch_transcode byte-identical to host pair (32 files)")
 
     best = float("inf")
-    rounds = 3
-    while rounds > 0:
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            batch_transcode(streams)
-            best = min(best, time.perf_counter() - t0)
-        msps = total / best / 1e6
-        if msps >= RUST_TRANSCODE_MSPS or rounds == 2:
-            break
-        log(
-            f"transcode {msps:.1f} Msps below the Rust pair — transient "
-            "tunnel/host load; retrying once in 30 s"
-        )
-        time.sleep(30)
-        rounds = 2
+    for _ in range(3):
+        t0 = time.perf_counter()
+        batch_transcode(streams)
+        best = min(best, time.perf_counter() - t0)
+    msps = total / best / 1e6
     log(
         f"HBM-resident batch transcode: {best*1e3:.0f} ms = {msps:.1f} Msps "
         f"(Rust decode+encode pair {RUST_TRANSCODE_MSPS:.1f})"
+    )
+    emit(
+        transcode_hbm_msps=round(msps, 1),
+        transcode_hbm_vs_baseline=round(msps / RUST_TRANSCODE_MSPS, 2),
     )
 
     # chip-side rate of the same fused pipeline (decode -> relayout ->
     # encode -> packing), chained launches, no host staging or fetch:
     # quantifies how much of the e2e number is this rig's ~45 MB/s tunnel
-    from qoaudio_tpu.parallel import corpus as _corpus
-
-    device_msps = None
-    if _corpus._LAST_FUSED_CALL is not None:
-        fn, args = _corpus._LAST_FUSED_CALL
+    if fused is not None:
 
         def tchain(K):
             t0 = time.perf_counter()
             o = None
             for _ in range(K):
-                o = fn(*args)
+                o = fused()
             int(np.asarray(o[0][0]))
             return time.perf_counter() - t0
 
-        tchain(1)
-        d1 = tchain(1)
-        pers = sorted((tchain(6) - d1) / 5 for _ in range(3))
-        per = next((p for p in pers if p > 1e-3), None)
+        tchain(1)  # warm the fetch path
+        per, bound = fit_launch_slope(
+            tchain, (2, 4, 8), 1e-3, "transcode chip pipeline"
+        )
         if per is not None:
             device_msps = total / per / 1e6
             log(
                 f"  chip-side pipeline rate: {per*1e3:.1f} ms/corpus = "
                 f"{device_msps:.0f} Msps (e2e gap = tunnel transfers)"
             )
-    return msps, device_msps
+            emit(transcode_chip_msps=round(device_msps, 1))
+        else:
+            emit(
+                transcode_chip_msps_rejected=True,
+                transcode_chip_msps_floor=round(total / bound / 1e6, 1),
+            )
 
 
 def main():
@@ -439,32 +478,20 @@ def main():
             f"{k}={extra[k]}" for k in sorted(second)
         ))
 
-    # The device sections run in a SUBPROCESS with a hard timeout: the
-    # remote-TPU ("axon") tunnel not only degrades transiently (>10x for
-    # minutes; the same binary measured 152 then 4121 Msps half an hour
-    # apart) but can go fully down, HANGING every device op inside native
-    # code where no Python-level timeout can fire.  Whatever happens to
-    # the child, the parent ALWAYS prints the one JSON line — with the
-    # host metrics at minimum.  Inside a healthy child, low headlines
-    # retry once (see _device_main).
-    headline = 0.0
-    for attempt in range(2):
-        h, extra2 = _device_subprocess()
-        timed_out = extra2.pop("_timed_out", False)
-        # all device metrics are higher-is-better: keep the per-metric best
-        # across attempts (a transient tunnel dip can hit one section only)
-        for k, v in extra2.items():
-            if isinstance(v, (int, float)):
-                extra[k] = max(extra.get(k, 0.0), v)
-            else:
-                extra.setdefault(k, v)
-        headline = max(headline, h)
-        if headline > 0 or attempt == 1 or timed_out:
-            # a timed-out child burned the full wall-clock cap already — a
-            # second identical wait would likely end the same way
-            break
-        log("device section produced nothing; retrying once in 120 s")
-        time.sleep(120)
+    # The device sections each run in their OWN subprocess with their own
+    # hard timeout: the remote-TPU ("axon") tunnel not only degrades
+    # transiently (>10x for minutes; the same binary measured 152 then
+    # 4121 Msps half an hour apart) but can go fully down, HANGING every
+    # device op inside native code where no Python-level timeout can fire.
+    # Children flush each metric as its own JSON line the moment it
+    # exists, and the parent salvages flushed fragments even from a child
+    # it had to kill — so one bad section (or a hang in a section's LAST
+    # step) can never zero the others.  Whatever happens to the children,
+    # the parent ALWAYS prints the one JSON line — with the host metrics
+    # at minimum.
+    headline, dev_extra = _run_device_sections()
+    for k, v in dev_extra.items():
+        extra[k] = v
 
     print(
         json.dumps(
@@ -482,43 +509,135 @@ def main():
     )
 
 
-def _device_subprocess():
-    """Run the device sections in a child (`bench.py --device-json`) with a
-    hard wall-clock cap; returns (headline, extra) — zeros/empty when the
-    child crashed, hung, or printed nothing parseable."""
-    import subprocess
+# ---------------------------------------------------------------------------
+# Device-section orchestration (parent side)
+# ---------------------------------------------------------------------------
+# Each section is one child process (`bench.py --device-json <name>`) with
+# its own timeout, ordered cheapest-compile-first so a dying tunnel still
+# banks the early sections.  `key` is the metric that decides whether a
+# section's attempt looked healthy; below `retry_below`, the parent queues
+# ONE spaced retry of just that section (a transient tunnel dip usually
+# hits one section only).
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--device-json"],
-            stdout=subprocess.PIPE,
-            timeout=int(os.environ.get("QOA_BENCH_DEVICE_TIMEOUT", "1500")),
-        )
-    except subprocess.TimeoutExpired:
-        log("device section timed out (tunnel down?); continuing without it")
-        return 0.0, {"_timed_out": True}
-    for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
+DEVICE_SECTIONS = (
+    # (name, timeout_s, key, retry_below)
+    ("decode", 420, "decode_batched_msps", 20000.0),
+    ("transcode", 540, "transcode_hbm_msps", RUST_TRANSCODE_MSPS),
+    ("encode", 700, "_headline", 1000.0),
+)
+
+
+def _parse_fragments(stdout_bytes):
+    """Every stdout line that parses as a JSON object is a metric fragment."""
+    frags = []
+    for line in (stdout_bytes or b"").decode(errors="replace").splitlines():
         line = line.strip()
         if line.startswith("{"):
             try:
-                d = json.loads(line)
-                return float(d.pop("_headline", 0.0)), d
+                frags.append(json.loads(line))
             except Exception:
-                break
-    log(f"device child produced no metrics (rc={proc.returncode})")
-    return 0.0, {}
+                pass
+    return frags
 
 
-def _device_main():
-    """Child entry: build the working set, run the device sections, print
-    ONE json line with the device metrics (stderr carries the logs)."""
+def _device_subprocess(section, timeout):
+    """Run ONE device section in a child with a hard wall-clock cap.
+    Returns the list of flushed metric fragments — INCLUDING those a
+    timed-out child managed to flush before it was killed."""
+    import subprocess
+
+    log(f"--- device section '{section}' (timeout {timeout:.0f}s) ---")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-json",
+             section],
+            stdout=subprocess.PIPE,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired as e:
+        log(f"device section '{section}' timed out (tunnel down?); "
+            "salvaging any flushed fragments")
+        return _parse_fragments(e.stdout)
+    if proc.returncode != 0:
+        log(f"device section '{section}' exited rc={proc.returncode}")
+    return _parse_fragments(proc.stdout)
+
+
+def _run_device_sections():
+    """Run every device section, merging fragments per-metric (numbers keep
+    the best across attempts — a transient dip can hit one attempt only);
+    retry unhealthy sections once each, spaced, within the overall device
+    budget.  Returns (headline, extra)."""
+    budget = float(os.environ.get("QOA_BENCH_DEVICE_BUDGET", "2600"))
+    t0 = time.monotonic()
+    headline = 0.0
+    extra = {}
+    attempts = {name: 0 for name, *_ in DEVICE_SECTIONS}
+    queue = [(name, t, key, low) for name, t, key, low in DEVICE_SECTIONS]
+    while queue:
+        name, timeout, key, low = queue.pop(0)
+        remaining = budget - (time.monotonic() - t0)
+        if remaining < 90:
+            log(f"device budget exhausted; skipping section '{name}'")
+            continue
+        if attempts[name] > 0:
+            pause = min(60.0, max(0.0, remaining - timeout))
+            log(f"spacing {pause:.0f}s before retrying '{name}'")
+            time.sleep(pause)
+            remaining = budget - (time.monotonic() - t0)
+        cap = float(os.environ.get("QOA_BENCH_DEVICE_TIMEOUT", timeout))
+        frags = _device_subprocess(name, min(cap, remaining))
+        attempts[name] += 1
+        for d in frags:
+            for k, v in d.items():
+                if k == "_headline":
+                    headline = max(headline, float(v))
+                elif isinstance(v, bool):
+                    extra[k] = extra.get(k, False) or v
+                elif isinstance(v, (int, float)):
+                    extra[k] = max(extra.get(k, 0.0), v)
+                else:
+                    extra.setdefault(k, v)
+        val = headline if key == "_headline" else extra.get(key, 0.0)
+        if val < low and attempts[name] < 2:
+            log(f"section '{name}': {key}={val:.1f} below par ({low:.1f}); "
+                "queueing one retry")
+            queue.append((name, timeout, key, low))
+    return headline, extra
+
+
+# ---------------------------------------------------------------------------
+# Device-section bodies (child side): each metric prints as its own JSON
+# line on stdout the moment it exists (stderr carries the logs), so the
+# parent can salvage completed measurements from a child that later hangs.
+# ---------------------------------------------------------------------------
+
+
+def _emit(**metrics):
+    print(json.dumps(metrics), flush=True)
+
+
+def _section_decode(data, pcm, channels, spc):
+    msps, floor = bench_pallas_decode(data)
+    if msps is not None:
+        _emit(decode_batched_msps=round(msps, 1))
+    else:
+        _emit(
+            decode_batched_msps_rejected=True,
+            decode_batched_msps_floor=round(floor, 1),
+        )
+
+
+def _section_transcode(data, pcm, channels, spc):
+    bench_transcode_hbm(pcm, channels, _emit)
+
+
+def _section_encode(data, pcm, channels, spc):
     import jax
 
     from qoaudio_tpu import codec
-    from qoaudio_tpu.ops.encode import initial_encoder_state
+    from qoaudio_tpu.ops.encode import encode_frames, initial_encoder_state
 
-    log(f"devices: {jax.devices()}")
-    data, pcm, channels, spc = load_pcm()
     x, lens, F = codec.layout_pcm(pcm, channels, spc)
     F_use = min(BENCH_FRAMES, F)
     reps = N_CHAINS // channels
@@ -529,115 +648,84 @@ def _device_main():
     state0 = jax.device_put(initial_encoder_state(channels, N_CHAINS))
     total = F_use * 5120 * N_CHAINS
 
-    headline = 0.0
-    extra = {}
-    for attempt in range(2):
-        h, extra2 = _device_section(data, state0, xp, lp, total, pcm, channels)
-        for k, v in extra2.items():
-            if isinstance(v, (int, float)):
-                extra[k] = max(extra.get(k, 0.0), v)
-            else:
-                extra.setdefault(k, v)
-        headline = max(headline, h)
-        # a transcode below the Rust pair is always tunnel/host transfer
-        # degradation (the chip-side rate is ~10x the pair): worth the same
-        # spaced second attempt as a degraded headline.  A skipped transcode
-        # section (key absent) must NOT force a retry.
-        transcode_ok = (
-            extra.get("transcode_hbm_msps", RUST_TRANSCODE_MSPS)
-            >= RUST_TRANSCODE_MSPS
+    try:
+        from qoaudio_tpu.ops.pallas_encode import (
+            available as pallas_available,
+            encode_frames_pallas_full,
         )
-        if (headline >= 1000 and transcode_ok) or attempt == 1:
-            break
-        log(
-            f"headline {headline:.0f} Msps / transcode "
-            f"{extra.get('transcode_hbm_msps', 0.0):.1f} Msps looks like "
-            "transient tunnel degradation; retrying once in 60 s"
+
+        if not pallas_available():
+            raise RuntimeError("no TPU for pallas")
+        # --- parity gate: every Pallas encode variant must match the
+        # XLA kernel word-for-word on the real working set BEFORE any
+        # timing (same shapes as the timed runs, so the compiles are
+        # shared; comparison reduces on device, only scalars fetch)
+        import jax.numpy as jnp
+
+        from qoaudio_tpu.ops.pallas_encode import encode_frames_pallas
+
+        ex = encode_frames(state0, xp, lp)
+        for label, got in (
+            ("pallas", encode_frames_pallas(state0, xp, lp)),
+            ("pallas_full", encode_frames_pallas_full(state0, xp)),
+        ):
+            bad = 0
+            for a, b in zip(ex, got):
+                bad += int(np.asarray(jnp.sum((a != b).astype(jnp.int32))))
+            if bad:
+                raise SystemExit(
+                    f"PARITY FAILURE: {label} encode != xla kernel "
+                    f"({bad} mismatched elements)"
+                )
+        log("parity gate: pallas encode bit-exact vs xla kernel")
+
+        # the working set is BENCH_FRAMES complete frames, i.e. the
+        # full-window region every batch transcode spends its time
+        # in — the specialized kernel is the deployed hot path
+        msps, floor = bench_device(
+            encode_frames_pallas_full, "pallas encode (full windows)",
+            state0, xp, None, total,
         )
-        time.sleep(60)
-    print(json.dumps({"_headline": round(headline, 1), **extra}))
+        if msps is not None:
+            _emit(_headline=round(msps, 1))
+        else:
+            _emit(headline_rejected=True, headline_floor_msps=round(floor, 1))
+        msps, _ = bench_device(
+            encode_frames, "xla encode", state0, xp, lp, total
+        )
+        if msps is not None:
+            _emit(encode_xla_msps=round(msps, 1))
+    except SystemExit:
+        raise
+    except Exception as e:  # pallas unavailable: fall back to XLA kernel
+        log(f"pallas path unavailable ({e}); using XLA kernel")
+        msps, floor = bench_device(
+            encode_frames, "xla encode", state0, xp, lp, total
+        )
+        if msps is not None:
+            _emit(_headline=round(msps, 1), encode_xla_msps=round(msps, 1))
+        else:
+            _emit(headline_rejected=True, headline_floor_msps=round(floor, 1))
 
 
-def _device_section(data, state0, xp, lp, total, pcm, channels):
-    from qoaudio_tpu.ops.encode import encode_frames
+def _device_main(section):
+    """Child entry: run ONE device section, flushing each metric as its
+    own JSON line (see the section bodies above)."""
+    import jax
 
-    extra = {}
+    log(f"devices: {jax.devices()}")
+    data, pcm, channels, spc = load_pcm()
+    body = {
+        "decode": _section_decode,
+        "transcode": _section_transcode,
+        "encode": _section_encode,
+    }[section]
     with profiler_trace(os.environ.get("QOA_BENCH_TRACE")):
-        try:
-            extra["decode_batched_msps"] = round(
-                bench_pallas_decode(data), 1
-            )
-        except Exception as e:
-            log(f"pallas decode bench skipped ({e})")
-        try:
-            msps, device_msps = bench_transcode_hbm(pcm, channels)
-            extra["transcode_hbm_msps"] = round(msps, 1)
-            extra["transcode_hbm_vs_baseline"] = round(
-                msps / RUST_TRANSCODE_MSPS, 2
-            )
-            if device_msps is not None:
-                extra["transcode_chip_msps"] = round(device_msps, 1)
-        except Exception as e:
-            log(f"transcode bench skipped ({e})")
-        try:
-            from qoaudio_tpu.ops.pallas_encode import (
-                available as pallas_available,
-                encode_frames_pallas_full,
-            )
-
-            if pallas_available():
-                # --- parity gate: every Pallas encode variant must match the
-                # XLA kernel word-for-word on the real working set BEFORE any
-                # timing (same shapes as the timed runs, so the compiles are
-                # shared; comparison reduces on device, only scalars fetch)
-                import jax.numpy as jnp
-                from qoaudio_tpu.ops.pallas_encode import encode_frames_pallas
-
-                ex = encode_frames(state0, xp, lp)
-                for label, got in (
-                    ("pallas", encode_frames_pallas(state0, xp, lp)),
-                    ("pallas_full", encode_frames_pallas_full(state0, xp)),
-                ):
-                    bad = 0
-                    for a, b in zip(ex, got):
-                        bad += int(
-                            np.asarray(jnp.sum((a != b).astype(jnp.int32)))
-                        )
-                    if bad:
-                        raise SystemExit(
-                            f"PARITY FAILURE: {label} encode != xla kernel "
-                            f"({bad} mismatched elements)"
-                        )
-                log("parity gate: pallas encode bit-exact vs xla kernel")
-
-                # the working set is BENCH_FRAMES complete frames, i.e. the
-                # full-window region every batch transcode spends its time
-                # in — the specialized kernel is the deployed hot path
-                headline = bench_device(
-                    encode_frames_pallas_full, "pallas encode (full windows)",
-                    state0, xp, None, total,
-                )
-                extra["encode_xla_msps"] = round(
-                    bench_device(encode_frames, "xla encode", state0, xp, lp, total),
-                    1,
-                )
-            else:
-                raise RuntimeError("no TPU for pallas")
-        except Exception as e:  # pallas unavailable: fall back to XLA kernel
-            log(f"pallas path unavailable ({e}); using XLA kernel")
-            try:
-                headline = bench_device(
-                    encode_frames, "xla encode", state0, xp, lp, total
-                )
-            except Exception as e2:  # backend fully down: report what we have
-                log(f"xla encode bench failed too ({e2})")
-                headline = 0.0
-
-    return headline, extra
+        body(data, pcm, channels, spc)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--device-json":
-        _device_main()
+        _device_main(sys.argv[2] if len(sys.argv) > 2 else "encode")
     else:
         main()

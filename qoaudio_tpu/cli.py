@@ -90,12 +90,28 @@ def _play_audio_sink(src, block, bf, pending) -> int:
             samplerate=rate, channels=ch, dtype="int16"
         ) as stream:
             while len(block):
-                stream.write(np.ascontiguousarray(block.reshape(-1, ch)))
+                # a ``pending`` block was read with the PREVIOUS segment's
+                # value limit and can stop mid-frame at a non-multiple of
+                # THIS segment's channel count: write only whole samples
+                # and carry the tail into the next read.  The carry always
+                # resolves within the segment (segments hold whole frames,
+                # so each segment's total length is a multiple of its
+                # channel count), leaving it empty at every format change.
+                whole = len(block) - len(block) % ch
+                if whole:
+                    stream.write(
+                        np.ascontiguousarray(block[:whole].reshape(-1, ch))
+                    )
+                carry = block[whole:]
                 if pending is not None:
                     (block, bf), pending = pending, None
                 else:
                     block = src.read(8192 * ch)
                     bf = (src.block_channels, src.block_sample_rate)
+                if carry.size:
+                    if not len(block):
+                        break  # defensive: a mid-sample EOF drops the tail
+                    block = np.concatenate([carry, block])
                 if bf != (ch, rate):
                     break  # reopen the device for the new format
     return 0

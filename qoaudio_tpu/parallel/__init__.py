@@ -11,6 +11,7 @@ Public surface:
 """
 
 from .corpus import (  # noqa: F401
+    TranscodeFusedHandle,
     TranscodeReport,
     batch_decode,
     batch_encode,
@@ -20,6 +21,7 @@ from .corpus import (  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
 
 __all__ = [
+    "TranscodeFusedHandle",
     "TranscodeReport",
     "batch_decode",
     "batch_encode",

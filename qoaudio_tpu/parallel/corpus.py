@@ -405,13 +405,27 @@ def _transcode_lens(samples_i32, F_pad: int, W_enc: int):
 
 _TRANSCODE_FUSED_CACHE: dict = {}
 
-# Bench seam: when _BENCH_KEEP_FUSED is True (set by bench.py only), the
-# most recent unsharded-TPU batch_transcode call stashes its
-# (fused_fn, device_args) here so the bench can time the pure device
-# pipeline without duplicating staging.  Off by default: the stash pins
-# the whole staged corpus in HBM for the life of the process.
-_BENCH_KEEP_FUSED = False
-_LAST_FUSED_CALL = None
+
+class TranscodeFusedHandle:
+    """Explicit handle onto a ``batch_transcode`` call's staged device
+    pipeline, returned by ``batch_transcode(..., return_fused_handle=True)``.
+
+    Holds the jitted fused pipeline (decode -> relayout -> lens -> encode ->
+    tight packing) and its DEVICE-RESIDENT arguments, which pins the staged
+    corpus in device memory for the handle's lifetime — drop the handle to
+    free it.  Calling the handle re-dispatches the whole pipeline in one
+    launch with no host staging; ``bench.py`` uses this to time the pure
+    chip-side rate of the deployment pipeline (the e2e number minus tunnel
+    transfers)."""
+
+    __slots__ = ("fn", "args")
+
+    def __init__(self, fn, args):
+        self.fn = fn
+        self.args = args
+
+    def __call__(self):
+        return self.fn(*self.args)
 
 
 def _relayout_encode_input(decT, metas, W_enc: int, F_pad: int, Ne: int,
@@ -513,8 +527,12 @@ def _transcode_fused_fn(metas, W_enc: int, F_pad: int, Ne: int, Nep: int,
 
 
 def batch_transcode(
-    streams: Sequence[bytes], chunk_frames: int = 64, mesh=None
-) -> List[bytes]:
+    streams: Sequence[bytes],
+    chunk_frames: int = 64,
+    mesh=None,
+    *,
+    return_fused_handle: bool = False,
+):
     """Transcode many QOA streams with PCM **HBM-resident end to end**
     (the BASELINE.json north-star deployment shape): the decode kernel's
     output re-lays out ON DEVICE into the encoder's frame layout and feeds
@@ -534,14 +552,24 @@ def batch_transcode(
     With ``mesh`` both the decode chain axis and the encode chain axis
     shard independently over the devices (no hot-loop collectives — the
     chains are embarrassingly parallel; only the relayout reshards).
+
+    With ``return_fused_handle=True`` the return value is
+    ``(outs, handle)`` where ``handle`` is a :class:`TranscodeFusedHandle`
+    onto the staged single-dispatch device pipeline, or ``None`` when no
+    fused pipeline ran (empty corpus, no jax backend, or the ``mesh``
+    path).  When part of the corpus falls back to the host pair, the
+    handle covers the device-eligible subset.
     """
     import jax
     import jax.numpy as jnp
 
     from ..bitstream import parse_file_arrays
 
+    def _ret(outs, handle=None):
+        return (outs, handle) if return_fused_handle else outs
+
     if not streams:
-        return []
+        return _ret([])
 
     def _host_pair(d: bytes) -> bytes:
         out = codec.decode_all(d)
@@ -551,7 +579,7 @@ def batch_transcode(
         )
 
     if _jax_platform() is None:
-        return [_host_pair(d) for d in streams]
+        return _ret([_host_pair(d) for d in streams])
     parsed = [parse_file_arrays(d) for d in streams]
 
     def _eligible(p) -> bool:
@@ -570,16 +598,17 @@ def batch_transcode(
         for i, (d, p) in enumerate(zip(streams, parsed)):
             if not _eligible(p):
                 outs[i] = _host_pair(d)
-        for (i, _), data in zip(
-            good,
-            batch_transcode(
-                [d for _, d in good], chunk_frames=chunk_frames, mesh=mesh
+        sub_handle = None
+        if good:
+            sub_outs, sub_handle = batch_transcode(
+                [d for _, d in good],
+                chunk_frames=chunk_frames,
+                mesh=mesh,
+                return_fused_handle=True,
             )
-            if good
-            else [],
-        ):
-            outs[i] = data
-        return outs
+            for (i, _), data in zip(good, sub_outs):
+                outs[i] = data
+        return _ret(outs, sub_handle)
 
     on_tpu = _jax_platform() == "tpu"
 
@@ -653,6 +682,7 @@ def batch_transcode(
         for p, doff, eoff in zip(parsed, doffs, eoffs)
     )
     state = initial_encoder_state(0, Nep)
+    handle = None
     if mesh is None:
         # the WHOLE device pipeline (decode on TPU, relayout, lens, encode,
         # tight packing) in ONE jitted dispatch, cached per corpus
@@ -668,17 +698,19 @@ def batch_transcode(
                 jnp.asarray(samples, jnp.int32),
                 jax.device_put(state),
             )
-            if _BENCH_KEEP_FUSED:  # bench seam (chip-rate timing) only
-                global _LAST_FUSED_CALL
-                _LAST_FUSED_CALL = (fn, args)
+            if return_fused_handle:
+                handle = TranscodeFusedHandle(fn, args)
             sp_d, hp_d, lp_d = fn(*args)
         else:
             fn = _transcode_fused_fn(
                 metas, W_enc, F_pad, Ne, Nep, _jax_platform()
             )
-            sp_d, hp_d, lp_d = fn(
+            args = (
                 dec, jnp.asarray(samples, jnp.int32), jax.device_put(state)
             )
+            if return_fused_handle:
+                handle = TranscodeFusedHandle(fn, args)
+            sp_d, hp_d, lp_d = fn(*args)
         from ..utils.transfer import fetch_arrays
 
         sp, hp, lp = fetch_arrays([sp_d, hp_d, lp_d])
@@ -702,7 +734,7 @@ def batch_transcode(
                     words_f.reshape(F_i, W_enc, C),
                 )
             )
-        return out
+        return _ret(out, handle)
     else:
         # mesh path: explicit shard_map kernels (not fusable under one jit);
         # relayout runs eagerly and XLA reshards between stages
@@ -739,7 +771,7 @@ def batch_transcode(
                 np.ascontiguousarray(words[:, :, eoff : eoff + C]),
             )
         )
-    return out
+    return _ret(out)
 
 
 def transcode_corpus(

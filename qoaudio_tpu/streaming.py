@@ -250,6 +250,16 @@ class QoaDecoder:
             raise IoError("seek requires a fixed-mode stream")
         if not hasattr(self._reader, "seek"):
             raise IoError("seek requires a seekable source")
+        # tell() must work BEFORE the cursor moves: the mismatch path's
+        # "decoder untouched on failure" guarantee needs somewhere to
+        # restore the reader to, so a seekable-but-not-tellable source is
+        # refused up front rather than left mis-positioned on failure.
+        # (Probe only — the restore position is re-read after the prefetch
+        # worker is settled, which can advance the cursor.)
+        try:
+            self._reader.tell()
+        except (OSError, AttributeError) as e:
+            raise IoError("seek requires a tellable source") from e
         if self._first_frame_samples <= 0:
             raise IoError("seek requires a nonempty first frame")
         n_frames = -(-self._mode.samples // self._first_frame_samples)
@@ -278,10 +288,7 @@ class QoaDecoder:
         # verify BEFORE committing: on mismatch the reader is restored and
         # every decoder attribute is untouched, so a caller that catches
         # the typed error keeps a fully consistent decoder
-        try:
-            pos0 = self._reader.tell()
-        except (OSError, AttributeError):
-            pos0 = None
+        pos0 = self._reader.tell()
         self._reader.seek(off)
         hdr = self._reader.read(8)
         if len(hdr) < 8 or int.from_bytes(hdr, "big") != exp:
@@ -290,8 +297,7 @@ class QoaDecoder:
                 self._queue.extend(items)
                 if b_err is not None and self._pending_error is None:
                     self._pending_error = b_err
-            if pos0 is not None:
-                self._reader.seek(pos0)
+            self._reader.seek(pos0)
             raise IoError(
                 f"seek_to_frame: no frame-{index} header at the uniform "
                 "stride offset (stream has non-uniform interior frames?)"

@@ -275,3 +275,56 @@ def test_cli_play_audio_sink_reopens_per_segment(tmp_path, monkeypatch):
     assert cli.main(["play", str(p), "--sink", "audio"]) == 0
     assert opened == [(1, 44100), (1, 22050)]
     assert writes == [100, 100]
+
+
+def test_cli_play_audio_sink_misaligned_pending_block(tmp_path, monkeypatch):
+    """A pending block captured at a format boundary is read with the OLD
+    segment's value limit (8192*ch0 - 1), which can stop mid-frame of the
+    NEW segment at a count that is not a multiple of the new channel
+    count; the sink must write whole samples and carry the tail instead
+    of crashing on reshape (ADVICE r04).  Construction: a 1-sample mono
+    first segment (so first=read(1) consumes it entirely) followed by a
+    long stereo segment (so top=read(8191) stops mid-frame at 8191
+    values, an odd count)."""
+    import sys as _sys
+    import types as _types
+
+    from qoaudio_tpu import format as fmt
+
+    opened = []
+    written = []
+
+    class FakeStream:
+        def __init__(self, samplerate, channels, dtype):
+            self.channels = channels
+            opened.append((channels, samplerate))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def write(self, arr):
+            assert arr.ndim == 2 and arr.shape[1] == self.channels
+            written.append(arr.copy())
+
+    fake = _types.SimpleNamespace(
+        OutputStream=FakeStream,
+        check_output_settings=lambda **kw: None,
+    )
+    monkeypatch.setitem(_sys.modules, "sounddevice", fake)
+
+    a = codec.encode_all(make_sine(1, 1, rate=44100), QoaDesc(1, 44100, 1))
+    n2 = 5120
+    pcm2 = make_sine(n2, 2, rate=22050)
+    b = codec.encode_all(pcm2, QoaDesc(2, 22050, n2))
+    p = tmp_path / "mis.qoa"
+    p.write_bytes(fmt.pack_file_header(0) + a[8:] + b[8:])
+
+    assert cli.main(["play", str(p), "--sink", "audio"]) == 0
+    assert opened == [(1, 44100), (2, 22050)]
+    # the stereo segment must come through complete, in order, and equal
+    # to its own decode (QOA is lossy: compare decoded, not source, PCM)
+    got = np.concatenate([w.reshape(-1) for w in written if w.shape[1] == 2])
+    assert np.array_equal(got, codec.decode_all(b).samples)

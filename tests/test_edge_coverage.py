@@ -77,9 +77,13 @@ def test_seek_requires_seekable_source():
 
 
 def test_failed_seek_without_tell_is_still_typed():
-    data = _ragged_stream([400, 300, 500])  # non-uniform: seek must fail
+    # a seekable-but-not-tellable reader is refused UP FRONT (ADVICE r04):
+    # letting the seek proceed and then fail on mismatch would leave the
+    # cursor moved with nowhere to restore it to, silently desyncing a
+    # caller that catches the typed error and keeps reading
+    data = _ragged_stream([400, 300, 500])
     dec = QoaDecoder(_NoTell(data))
-    with pytest.raises(IoError, match="non-uniform"):
+    with pytest.raises(IoError, match="tellable"):
         dec.seek_to_frame(1)
 
 

@@ -313,6 +313,62 @@ def test_batch_transcode_single_frame_files_use_device_path(monkeypatch):
         assert g == want
 
 
+def test_batch_transcode_fused_handle():
+    # return_fused_handle=True must hand back the staged single-dispatch
+    # pipeline: calling the handle reproduces the packed device buffers
+    # bit-for-bit, and the default call signature stays a plain list
+    import numpy as np
+
+    from qoaudio_tpu.parallel import corpus
+
+    files = [
+        (make_noise(2 * 5120 + 33, 2, seed=101), QoaDesc(2, 44100, 2 * 5120 + 33)),
+        (make_noise(5120, 1, seed=102), QoaDesc(1, 22050, 5120)),
+    ]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    outs, handle = corpus.batch_transcode(streams, return_fused_handle=True)
+    assert isinstance(outs, list) and all(isinstance(o, bytes) for o in outs)
+    assert isinstance(handle, corpus.TranscodeFusedHandle)
+    sp, hp, lp = handle()  # re-dispatch the staged pipeline
+    sp2, hp2, lp2 = handle.fn(*handle.args)
+    for a, b in ((sp, sp2), (hp, hp2), (lp, lp2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # plain call: no tuple, no handle retained anywhere in module state
+    plain = corpus.batch_transcode(streams)
+    assert plain == outs
+    assert not hasattr(corpus, "_LAST_FUSED_CALL")
+
+
+def test_batch_transcode_fused_handle_mixed_fallback():
+    # with a host-fallback file in the corpus the handle must still cover
+    # the device-eligible subset
+    import io
+
+    from qoaudio_tpu.parallel import corpus
+    from qoaudio_tpu.streaming import QoaEncoder
+
+    good = codec.encode_all(make_noise(5120 + 7, 2, seed=111),
+                            QoaDesc(2, 44100, 5120 + 7))
+    # non-standard uniform framing (2560-sample frames) -> host pair
+    pcm = make_noise(2560 * 2, 1, seed=112)
+    enc = QoaEncoder(QoaDesc(1, 44100, 2560 * 2))
+    buf = io.BytesIO()
+    enc.write_header(buf)
+    for off in range(0, 2560 * 2, 2560):
+        enc.encode_frame(pcm[off : off + 2560], buf)
+    odd = buf.getvalue()
+    outs, handle = corpus.batch_transcode([good, odd],
+                                          return_fused_handle=True)
+    assert isinstance(handle, corpus.TranscodeFusedHandle)
+    for s, g in zip([good, odd], outs):
+        out = codec.decode_all(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want
+
+
 def test_transcode_fused_cache_reuse():
     # the per-corpus-signature jit cache must serve repeat corpora without
     # rebuilding, and repeated calls must stay byte-identical

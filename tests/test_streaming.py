@@ -567,6 +567,33 @@ def test_seek_to_frame_non_uniform_stream_raises():
         ), f"frame {k}"
 
 
+def test_seek_to_frame_tell_less_reader_refused_up_front(fixture_bytes):
+    # a seekable-but-not-tellable reader cannot honor the "decoder (and
+    # reader) untouched on failure" guarantee — the mismatch path would
+    # have nowhere to restore the cursor to — so the seek is refused
+    # BEFORE the cursor moves (ADVICE r04)
+    from qoaudio_tpu.errors import IoError as QIoError
+
+    class NoTell(io.BytesIO):
+        def tell(self):
+            raise OSError("tell unsupported")
+
+    reader = NoTell(fixture_bytes)
+    dec = QoaDecoder(reader)
+    hdr0, block0 = dec.next_frame()  # decoder works without seeking
+    assert hdr0.num_samples_per_channel > 0
+    with pytest.raises(QIoError, match="tellable"):
+        dec.seek_to_frame(3)
+    # decoder still fully consistent: the next frame is frame 1
+    want = codec.decode_all(fixture_bytes).samples
+    hdr1, block1 = dec.next_frame()
+    spc0 = hdr0.num_samples_per_channel * 2
+    assert np.array_equal(
+        np.asarray(block1),
+        want[spc0 : spc0 + hdr1.num_samples_per_channel * 2],
+    )
+
+
 def test_streaming_decoder_survives_dry_iteration():
     # pulling from a dry streaming decoder must NOT brick it: the
     # reference resumes iteration once decode_frame feeds more bytes
