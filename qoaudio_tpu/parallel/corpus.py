@@ -192,9 +192,20 @@ def batch_encode(
                 cl[:k, :, off : off + d.channels] = lf[
                     f0 : f0 + k, :W_use, None
                 ]
+        # chunked-parallel H2D of the staging cube (the dominant upload on
+        # the remote-tunnel TPU; utils/transfer module note).  Mesh paths
+        # manage their own sharded placement.
         if full_kernel is not None and f0 + chunk <= f_full_min:
+            if mesh is None:
+                from ..utils.transfer import put_arrays
+
+                (cx,) = put_arrays([cx])
             state, snaps, hi, lo = full_kernel(state, cx)
         else:
+            if mesh is None:
+                from ..utils.transfer import put_arrays
+
+                cx, cl = put_arrays([cx, cl])
             state, snaps, hi, lo = kernel(state, cx, cl)
         staged.append((snaps, hi, lo))
         while len(staged) > 2:
@@ -345,7 +356,7 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
         Np = -(-N // tile) * tile
         Wp = -(-W // wblk) * wblk
         hi, lo, state = _stage_word_halves(parsed, offs, Wp, Np)
-        from ..utils.transfer import fetch_array
+        from ..utils.transfer import fetch_array, put_arrays
 
         if mesh is not None:
             from .mesh import decode_chains_pallas_sharded
@@ -354,8 +365,9 @@ def batch_decode(streams: Sequence[bytes], mesh=None) -> List[DecodedQoa]:
                 decode_chains_pallas_sharded(mesh, state, hi, lo, subs, wblk)
             )
         else:
+            state_d, hi_d, lo_d = put_arrays([state, hi, lo])
             dec = fetch_array(
-                decode_chains_pallas(state, hi, lo, subs=subs, wblk=wblk)
+                decode_chains_pallas(state_d, hi_d, lo_d, subs=subs, wblk=wblk)
             )
     elif mesh is not None:
         # sharded XLA kernel (CPU/GPU meshes): code planes over chains
@@ -691,12 +703,20 @@ def batch_transcode(
             fn = _transcode_fused_fn(
                 metas, W_enc, F_pad, Ne, Nep, "tpu", dec_cfg=(subs, wblk)
             )
+            # chunked-parallel H2D: the staged word halves are the bulk of
+            # the e2e upload (~2x the compressed payload); see
+            # utils/transfer module note
+            from ..utils.transfer import put_arrays
+
+            dstate_d, hi_d, lo_d, state_d = put_arrays(
+                [dstate, hi, lo, state]
+            )
             args = (
-                jax.device_put(dstate),
-                jax.device_put(hi),
-                jax.device_put(lo),
+                dstate_d,
+                hi_d,
+                lo_d,
                 jnp.asarray(samples, jnp.int32),
-                jax.device_put(state),
+                state_d,
             )
             if return_fused_handle:
                 handle = TranscodeFusedHandle(fn, args)

@@ -408,6 +408,47 @@ def test_fetch_arrays_chunked_bit_exact(monkeypatch):
     assert np.array_equal(o3, a3)
 
 
+def test_put_arrays_chunked_bit_exact(monkeypatch):
+    # force the chunked-concurrent upload path on the CPU backend: the
+    # device-side row concat must reassemble every array bit-identically,
+    # mixed with pass-through (small / device-resident) entries
+    import jax.numpy as jnp
+
+    from qoaudio_tpu.utils import transfer
+
+    monkeypatch.setattr(
+        transfer,
+        "_put_chunkable",
+        lambda a, platform: isinstance(a, np.ndarray)
+        and a.ndim >= 1
+        and a.shape[0] >= 2,
+    )
+    monkeypatch.setattr(transfer, "_PUT_CHUNK_BYTES", 1 << 10)
+    rng = np.random.default_rng(7)
+    a1 = rng.integers(-(2**31), 2**31 - 1, 100_001, dtype=np.int64).astype(
+        np.int32
+    )
+    a2 = rng.integers(0, 2**16, (37, 129), dtype=np.int64).astype(np.uint16)
+    a3 = np.arange(1)  # single row: pass-through
+    a4 = jnp.arange(5)  # already on device: pass-through
+    o1, o2, o3, o4 = transfer.put_arrays([a1, a2, a3, a4])
+    assert np.array_equal(np.asarray(o1), a1)
+    assert np.array_equal(np.asarray(o2), a2)
+    assert np.array_equal(np.asarray(o3), a3)
+    assert np.array_equal(np.asarray(o4), np.asarray(a4))
+
+
+def test_put_arrays_env_optout(monkeypatch):
+    # QOA_NO_CHUNKED_PUT must force the plain device_put path
+    from qoaudio_tpu.utils import transfer
+
+    monkeypatch.setenv("QOA_NO_CHUNKED_PUT", "1")
+    a = np.zeros((64, 4096), np.int32)
+    assert not transfer._put_chunkable(a, "tpu")
+    out = transfer.put_array(a)
+    assert np.array_equal(np.asarray(out), a)
+
+
 def test_batch_transcode_random_corpora_property():
     # randomized corpus shapes (single/multi-frame, 1-4 channels, short
     # tails) through the device path must equal the host pair byte-for-byte
