@@ -33,6 +33,13 @@ transpose): decode+relayout falls 49.2 ms -> 8.9-11.0 ms, i.e. the
 relayout itself is ~FREE.  The shipped A form built 32 per-file blocks
 with minor dim C in {1,2} (~64x tile bloat each) and concatenated them
 along the minor axis.  B INTEGRATED into _relayout_encode_input.
+POST-FIX RE-PROFILE (2026-08-19, integrated pipeline, same corpus,
+two reps): decode 6.3-8.2 ms, +transpose ~0 (folds), +relayout
+1.6-1.9 ms, +lens ~0, +encode 53.9-54.8 ms, +pack 1.9 ms; TOTAL
+65.4-65.6 ms = ~545 Msps chip rate (vs 341 pre-fix; the ~480
+projection was conservative).  The relayout A/B comparison is now a
+wash (A 8.9-9.0 vs B 9.5-9.6 ms measured FROM decode) because the
+shipped A *is* variant B.
 The encode stage's ~63 ms is STRUCTURAL for this corpus: the longest
 file's 256-frame chain serializes 256 grid steps at the 128-lane
 minimum plane width (~0.25 ms/step); fewer real lanes cannot shrink a
