@@ -415,6 +415,83 @@ def _transcode_lens(samples_i32, F_pad: int, W_enc: int):
     return jnp.clip(spc - w_i * fmt.QOA_SLICE_LEN, 0, fmt.QOA_SLICE_LEN)
 
 
+# Length-bucketing cost model (batch_transcode): one extra fused dispatch
+# costs about this many padded lane-frames of encode work (~15 ms chip
+# time at the measured ~1.8 us/lane-frame — one tunnel dispatch RTT), and
+# a partition must beat the single launch by at least 1/MIN_GAIN before
+# the extra dispatches are worth it.
+_BUCKET_OVERHEAD = 8192.0
+_BUCKET_MIN_GAIN = 0.75
+
+
+def _length_buckets(frame_counts, chans, e_mult, chunk_frames):
+    """Partition files into frame-count buckets minimizing padded encode
+    work.
+
+    The encode kernel's cost is F_pad x Nep padded lane-frames per launch
+    (every lane runs every frame step: chains are indivisible, the grid
+    cannot early-exit per lane — CLAUDE.md 2026-08-17), so a mixed-length
+    corpus with more than one 128-lane tile of chains wastes whole tiles
+    on the short files' padding.  Exact DP over the length-sorted order:
+    cost(bucket) = F_pad * ceil(Ne/e_mult)*e_mult + _BUCKET_OVERHEAD, the
+    optimal partition is contiguous in sorted order.  Returns a list of
+    index lists (original input order within each bucket), or ``None``
+    when one launch is within ``_BUCKET_MIN_GAIN`` of the optimum (the
+    <=1-tile case always lands here, matching the structural analysis).
+    """
+    n = len(frame_counts)
+    if n < 2:
+        return None
+    order = sorted(range(n), key=lambda i: (frame_counts[i], i))
+    f_sorted = [frame_counts[i] for i in order]
+
+    def fpad(fmax):
+        chunk = min(chunk_frames, codec._next_pow2(int(fmax)))
+        return -(-int(fmax) // chunk) * chunk
+
+    fpads = np.asarray([fpad(f) for f in f_sorted], np.float64)
+    csum = np.zeros(n + 1, np.float64)
+    csum[1:] = np.cumsum([chans[i] for i in order])
+    best = np.full(n + 1, np.inf)
+    best[0] = 0.0
+    cut = np.zeros(n + 1, np.int32)
+    for i in range(1, n + 1):
+        nep = np.ceil((csum[i] - csum[:i]) / e_mult) * e_mult
+        cost = best[:i] + fpads[i - 1] * nep + _BUCKET_OVERHEAD
+        j = int(np.argmin(cost))
+        best[i], cut[i] = cost[j], j
+    single = fpads[-1] * np.ceil(csum[n] / e_mult) * e_mult + _BUCKET_OVERHEAD
+    if not best[n] < _BUCKET_MIN_GAIN * single:
+        return None
+    segs, i = [], n
+    while i > 0:
+        j = int(cut[i])
+        segs.append(sorted(order[j:i]))
+        i = j
+    segs.reverse()
+    return segs
+
+
+class _CompositeFusedHandle:
+    """Fused handles of every length bucket of one ``batch_transcode``
+    call.  Calling it re-dispatches each bucket's pipeline in order and
+    returns the LAST bucket's outputs — single-device launches execute
+    in submission order, so syncing the returned arrays covers every
+    bucket (the same ordering the chained-launch bench timing relies
+    on)."""
+
+    __slots__ = ("handles",)
+
+    def __init__(self, handles):
+        self.handles = handles
+
+    def __call__(self):
+        r = None
+        for h in self.handles:
+            r = h()
+        return r
+
+
 _TRANSCODE_FUSED_CACHE: dict = {}
 
 
@@ -544,6 +621,7 @@ def batch_transcode(
     mesh=None,
     *,
     return_fused_handle: bool = False,
+    bucket="auto",
 ):
     """Transcode many QOA streams with PCM **HBM-resident end to end**
     (the BASELINE.json north-star deployment shape): the decode kernel's
@@ -571,6 +649,14 @@ def batch_transcode(
     fused pipeline ran (empty corpus, no jax backend, or the ``mesh``
     path).  When part of the corpus falls back to the host pair, the
     handle covers the device-eligible subset.
+
+    ``bucket="auto"`` (default) splits a mixed-length corpus with more
+    than one lane tile of encode chains into frame-count buckets, each
+    its own fused dispatch, whenever that reduces padded encode work by
+    >= 1/0.75 (every lane runs every padded frame step, so short files
+    in a long corpus waste whole tiles; see :func:`_length_buckets`).
+    Bucketing never changes bytes — chains are independent lanes.
+    ``bucket=False`` forces the single launch.
     """
     import jax
     import jax.numpy as jnp
@@ -617,12 +703,41 @@ def batch_transcode(
                 chunk_frames=chunk_frames,
                 mesh=mesh,
                 return_fused_handle=True,
+                bucket=bucket,
             )
             for (i, _), data in zip(good, sub_outs):
                 outs[i] = data
         return _ret(outs, sub_handle)
 
     on_tpu = _jax_platform() == "tpu"
+
+    # ---- length bucketing: mixed lengths over >1 tile of chains ----
+    if bucket:
+        _, e_mult_b = _pick_kernel(mesh)
+        segs = _length_buckets(
+            [p.n_frames for p in parsed],
+            [p.channels for p in parsed],
+            max(1, e_mult_b),
+            chunk_frames,
+        )
+        if segs is not None:
+            outs = [None] * len(streams)
+            handles = []
+            for seg in segs:
+                sub, h = batch_transcode(
+                    [streams[i] for i in seg],
+                    chunk_frames=chunk_frames,
+                    mesh=mesh,
+                    return_fused_handle=True,
+                    bucket=False,
+                )
+                if h is not None:
+                    handles.append(h)
+                for i, b in zip(seg, sub):
+                    outs[i] = b
+            return _ret(
+                outs, _CompositeFusedHandle(handles) if handles else None
+            )
 
     # ---- decode: all files' chains in one launch ----
     W = max(p.max_windows for p in parsed)

@@ -582,3 +582,104 @@ def test_batch_apis_no_jax_backend_host_fallback(monkeypatch):
         np.array_equal(a.samples, b) for a, b in zip(got, want_pcm)
     )
     assert batch_transcode(want_streams) == want_transcode
+
+
+def test_length_buckets_partition_properties():
+    """The DP partitioner: <=1 tile of chains never buckets (the
+    structural analysis says packing pays only past 128 chains), uniform
+    lengths never bucket, and a large mixed corpus splits at a length
+    boundary with every index appearing exactly once."""
+    from qoaudio_tpu.parallel.corpus import _length_buckets
+
+    # the bench corpus shape: 48 chains in one 128-lane tile -> None
+    frames = [(64, 128, 256)[i % 3] for i in range(32)]
+    chans = [(2, 1, 2, 1)[i % 4] for i in range(32)]
+    assert _length_buckets(frames, chans, 128, 64) is None
+
+    # uniform lengths -> None regardless of scale
+    assert _length_buckets([64] * 256, [2] * 256, 128, 64) is None
+
+    # 256 stereo files, half 64 frames and half 256: single launch pads
+    # every lane to 256 frames; two buckets cut the padded work ~1.4x
+    frames = [64] * 128 + [256] * 128
+    chans = [2] * 256
+    segs = _length_buckets(frames, chans, 128, 64)
+    assert segs is not None and len(segs) == 2
+    flat = sorted(i for s in segs for i in s)
+    assert flat == list(range(256))
+    assert segs[0] == list(range(128)) and segs[1] == list(range(128, 256))
+    # buckets preserve original input order internally
+    assert all(s == sorted(s) for s in segs)
+
+
+def test_batch_transcode_bucketed_bit_exact(monkeypatch):
+    """bucket='auto' must produce byte-identical streams to the single
+    launch and to the host pair, reassembled in input order, and the
+    returned handle must cover every bucket.  The cost constants shrink
+    so a small CPU corpus actually buckets (e_mult=1 on the XLA path)."""
+    from qoaudio_tpu.parallel import corpus
+
+    monkeypatch.setattr(corpus, "_BUCKET_OVERHEAD", 1.0)
+    files = [
+        (make_noise(5120 * 8 + 40, 2, seed=201), QoaDesc(2, 44100, 5120 * 8 + 40)),
+        (make_noise(300, 1, seed=202), QoaDesc(1, 22050, 300)),
+        (make_noise(5120 + 7, 2, seed=203), QoaDesc(2, 48000, 5120 + 7)),
+        (make_noise(5120 * 8, 1, seed=204), QoaDesc(1, 44100, 5120 * 8)),
+    ]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    segs = corpus._length_buckets(
+        [-(-d.samples // fmt.QOA_FRAME_LEN) for _, d in files],
+        [d.channels for _, d in files],
+        1,
+        64,
+    )
+    assert segs is not None and len(segs) > 1, "corpus must actually bucket"
+
+    got, handle = corpus.batch_transcode(streams, return_fused_handle=True)
+    single = corpus.batch_transcode(streams, bucket=False)
+    assert got == single
+    for s, g in zip(streams, got):
+        out = codec.decode_all(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want
+    assert isinstance(handle, corpus._CompositeFusedHandle)
+    assert len(handle.handles) == len(segs)
+    r = handle()  # re-dispatch every bucket; returns the last bucket's outputs
+    assert r is not None and len(r) == 3
+
+
+def test_batch_transcode_bucketed_with_host_fallback(monkeypatch):
+    """Bucketing composes with the ineligible-stream host fallback: the
+    rejected stream takes the host pair, the rest buckets, order holds."""
+    import io
+
+    from qoaudio_tpu.parallel import corpus
+    from qoaudio_tpu.streaming import QoaEncoder
+
+    monkeypatch.setattr(corpus, "_BUCKET_OVERHEAD", 1.0)
+    pcm = make_noise(2560 * 2, 2, seed=211)
+    enc = QoaEncoder(QoaDesc(2, 44100, 2560 * 2))
+    buf = io.BytesIO()
+    enc.write_header(buf)
+    for off in range(0, 2560 * 2, 2560):
+        enc.encode_frame(pcm[off * 2 : (off + 2560) * 2], buf)
+    odd = buf.getvalue()
+
+    files = [
+        (make_noise(5120 * 8 + 11, 2, seed=212), QoaDesc(2, 44100, 5120 * 8 + 11)),
+        (make_noise(400, 1, seed=213), QoaDesc(1, 22050, 400)),
+        (make_noise(5120 * 8, 1, seed=214), QoaDesc(1, 48000, 5120 * 8)),
+    ]
+    streams = [codec.encode_all(pcm_i, d) for pcm_i, d in files]
+    mixed = [streams[0], odd, streams[1], streams[2]]
+    got = corpus.batch_transcode(mixed)
+    for s, g in zip(mixed, got):
+        out = codec.decode_all(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want
