@@ -18,8 +18,18 @@ Timing: linearity-gated chained launches through the fused handle(s)
 Parity: bucket="auto" output must equal bucket=False byte-for-byte
 (also pinned CPU-side in tests/test_parallel.py).
 
-OUTCOME: recorded below after the run; numbers land in README/CLAUDE.md
-only from actual captures.
+OUTCOME (2026-08-19, v5e via axon, K in {1,2,4}, gated fits accepted
+first rep, R^2 0.9983-1.0000):
+    single launch : 243.7 ms/corpus = 1,721 Msps chip rate
+    bucketed      : 154.9 ms/corpus = 2,708 Msps chip rate -> 1.57x
+    parity        : byte-for-byte identical
+    (the padded-work model predicted 131,072/81,920 = 1.6x — the DP's
+    cost function is calibrated)
+    e2e warm: single 14.0 s = 29.9 Msps, bucketed 16.2 s = 26.0 Msps —
+    on THIS rig e2e is tunnel-transfer-bound and the bucketed path's
+    split staging costs ~15%; on hardware without the ~45 MB/s tunnel
+    the chip rate is the deployment metric, so bucket="auto" stays the
+    default.
 """
 
 import os
