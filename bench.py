@@ -458,6 +458,96 @@ def bench_transcode_hbm(pcm, channels, emit):
             )
 
 
+def bench_transcode_saturated(pcm, channels, emit):
+    """Full-lane-occupancy transcode (the deployment shape the north star
+    describes): 128 uniform-length stereo files = 256/256 encode chains,
+    tight F_pad — the shape where occupancy converts the bench corpus's
+    padding into throughput (experiments/tpu_lane_saturated.py measured
+    4.69x the 32-file corpus's per-corpus chip rate here).  Parity is
+    spot-checked (4 files vs the host pair; the full 32-file corpus gate
+    runs in the transcode section), then the chip rate times the fused
+    handle with the linearity gate."""
+    from qoaudio_tpu import codec
+    from qoaudio_tpu.parallel.corpus import batch_transcode
+    from qoaudio_tpu.types import QoaDesc
+
+    stereo = np.asarray(pcm).reshape(-1, channels)
+    if channels != 2:
+        log("saturated section needs the stereo fixture; skipping")
+        return
+    n_src = stereo.shape[0]
+    files = []
+    pos = 0
+    for i in range(128):
+        spc_i = 64 * 5120
+        idx = (pos + np.arange(spc_i)) % n_src
+        files.append(
+            (
+                np.ascontiguousarray(stereo[idx]).reshape(-1),
+                QoaDesc(2, (44100, 48000)[i % 2], spc_i),
+            )
+        )
+        pos = (pos + spc_i + 9973) % n_src
+    streams = [codec.encode_all(p, d, backend="native") for p, d in files]
+    total = sum(d.samples * d.channels for _, d in files)
+    log(
+        f"saturated corpus: {len(streams)} files, {total/1e6:.1f} Msamples, "
+        f"{sum(len(s) for s in streams)/1e6:.1f} MB compressed"
+    )
+
+    t0 = time.perf_counter()
+    got, fused = batch_transcode(streams, return_fused_handle=True)
+    log(f"saturated warmup (compile + staging): {time.perf_counter()-t0:.0f} s")
+    for i in (0, 42, 85, 127):
+        out = codec.decode_all(streams[i], backend="native")
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+            backend="native",
+        )
+        if got[i] != want:
+            raise SystemExit(
+                "PARITY FAILURE: saturated batch_transcode != host pair"
+            )
+    log("parity gate: saturated transcode spot-check (4 files) bit-exact")
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        batch_transcode(streams)
+        best = min(best, time.perf_counter() - t0)
+    msps = total / best / 1e6
+    log(f"saturated e2e: {best*1e3:.0f} ms = {msps:.1f} Msps")
+    emit(transcode_saturated_msps=round(msps, 1))
+
+    if fused is not None:
+
+        def tchain(K):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(K):
+                o = fused()
+            int(np.asarray(o[0][0]))
+            return time.perf_counter() - t0
+
+        tchain(1)
+        per, bound = fit_launch_slope(
+            tchain, (2, 4, 8), 1e-3, "saturated chip pipeline"
+        )
+        if per is not None:
+            device_msps = total / per / 1e6
+            log(
+                f"  saturated chip rate: {per*1e3:.1f} ms/corpus = "
+                f"{device_msps:.0f} Msps (full 256/256-lane occupancy)"
+            )
+            emit(transcode_saturated_chip_msps=round(device_msps, 1))
+        else:
+            emit(
+                transcode_saturated_chip_rejected=True,
+                transcode_saturated_chip_floor=round(total / bound / 1e6, 1),
+            )
+
+
 def main():
     # NO jax in this process: even jax.devices() can hang forever when the
     # tunnel is down, and this process must always print the JSON line.
@@ -524,6 +614,7 @@ DEVICE_SECTIONS = (
     ("decode", 420, "decode_batched_msps", 20000.0),
     ("transcode", 540, "transcode_hbm_msps", RUST_TRANSCODE_MSPS),
     ("encode", 700, "_headline", 1000.0),
+    ("saturated", 420, "transcode_saturated_chip_msps", 1500.0),
 )
 
 
@@ -632,6 +723,10 @@ def _section_transcode(data, pcm, channels, spc):
     bench_transcode_hbm(pcm, channels, _emit)
 
 
+def _section_saturated(data, pcm, channels, spc):
+    bench_transcode_saturated(pcm, channels, _emit)
+
+
 def _section_encode(data, pcm, channels, spc):
     import jax
 
@@ -719,6 +814,7 @@ def _device_main(section):
         "decode": _section_decode,
         "transcode": _section_transcode,
         "encode": _section_encode,
+        "saturated": _section_saturated,
     }[section]
     with profiler_trace(os.environ.get("QOA_BENCH_TRACE")):
         body(data, pcm, channels, spc)

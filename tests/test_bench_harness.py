@@ -105,12 +105,19 @@ def test_sections_merge_and_no_retry_when_healthy(monkeypatch):
                 ]
             ],
             "encode": [[{"_headline": 4200.0}, {"encode_xla_msps": 900.0}]],
+            "saturated": [
+                [
+                    {"transcode_saturated_msps": 6.0},
+                    {"transcode_saturated_chip_msps": 2700.0},
+                ]
+            ],
         },
     )
     headline, extra = bench._run_device_sections()
     assert headline == 4200.0
     assert extra["decode_batched_msps"] == 51000.0
     assert extra["transcode_chip_msps"] == 480.0
+    assert extra["transcode_saturated_chip_msps"] == 2700.0
     assert all(v == 1 for v in seen.values())  # healthy: one attempt each
 
 
@@ -126,6 +133,7 @@ def test_below_par_section_retries_once_and_keeps_best(monkeypatch):
             ],
             "transcode": [[{"transcode_hbm_msps": 45.0}]],
             "encode": [[{"_headline": 4100.0}]],
+            "saturated": [[{"transcode_saturated_chip_msps": 2600.0}]],
         },
     )
     headline, extra = bench._run_device_sections()
@@ -143,6 +151,7 @@ def test_dead_tunnel_zeroes_nothing_else(monkeypatch):
             "decode": [[{"decode_batched_msps": 48000.0}]],
             "transcode": [[{"transcode_hbm_msps": 44.0}]],
             "encode": [[], []],
+            "saturated": [[{"transcode_saturated_chip_msps": 2600.0}]],
         },
     )
     headline, extra = bench._run_device_sections()
