@@ -683,3 +683,42 @@ def test_batch_transcode_bucketed_with_host_fallback(monkeypatch):
             QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
         )
         assert g == want
+
+
+def test_batch_transcode_bucketed_under_mesh(monkeypatch):
+    """bucket='auto' composes with ``mesh=``: the bucket partitioner uses
+    the sharded kernel's chain multiple, every bucket's sub-call runs the
+    sharded decode->relayout->encode pipeline, bytes equal both the
+    unbucketed mesh run and the host pair in input order, and the fused
+    handle is None (the mesh path stages no single-dispatch pipeline)."""
+    from qoaudio_tpu.parallel import corpus
+
+    monkeypatch.setattr(corpus, "_BUCKET_OVERHEAD", 1.0)
+    files = [
+        (make_noise(5120 * 8 + 13, 2, seed=221), QoaDesc(2, 44100, 5120 * 8 + 13)),
+        (make_noise(320, 1, seed=222), QoaDesc(1, 22050, 320)),
+        (make_noise(5120 + 9, 2, seed=223), QoaDesc(2, 48000, 5120 + 9)),
+        (make_noise(5120 * 8, 1, seed=224), QoaDesc(1, 44100, 5120 * 8)),
+    ]
+    streams = [codec.encode_all(pcm, d) for pcm, d in files]
+    mesh = make_mesh()
+    segs = corpus._length_buckets(
+        [-(-d.samples // fmt.QOA_FRAME_LEN) for _, d in files],
+        [d.channels for _, d in files],
+        mesh.size,
+        64,
+    )
+    assert segs is not None and len(segs) > 1, "corpus must actually bucket"
+
+    got, handle = corpus.batch_transcode(
+        streams, mesh=mesh, return_fused_handle=True
+    )
+    assert handle is None
+    assert got == corpus.batch_transcode(streams, mesh=mesh, bucket=False)
+    for s, g in zip(streams, got):
+        out = codec.decode_all(s)
+        want = codec.encode_all(
+            out.samples,
+            QoaDesc(out.num_channels, out.sample_rate, out.samples_per_channel),
+        )
+        assert g == want
