@@ -518,3 +518,91 @@ def test_cli_transcode_hbm_ignores_backend_with_notice(tmp_path, capsys):
     dec = codec.decode_all(src.read_bytes())
     want = codec.encode_all(dec.samples, QoaDesc(1, 44100, 3000))
     assert (outdir / "a.qoa").read_bytes() == want
+
+
+def _uniform_stream(chunk_lens, channels=2, rate=44100):
+    """Encode a stream frame-by-frame with caller-chosen chunk lengths."""
+    total = sum(chunk_lens)
+    pcm = make_sine(total, channels)
+    buf = io.BytesIO()
+    enc = QoaEncoder(QoaDesc(channels, rate, total))
+    enc.write_header(buf)
+    pos = 0
+    for ln in chunk_lens:
+        enc.encode_frame(pcm[pos * channels : (pos + ln) * channels], buf)
+        pos += ln
+    return buf.getvalue()
+
+
+def test_batch_decode_no_mesh_native_and_xla_kernels(monkeypatch):
+    """The no-mesh batched corpus decode on CPU: the native chain engine
+    when present, the XLA kernel when not — both bit-exact per file, for
+    standard frames AND a uniform non-window-aligned geometry (interior
+    spc % 20 != 0), which forces the per-frame interleave+trim."""
+    from qoaudio_tpu.parallel import batch_decode
+
+    streams = [
+        _uniform_stream([5120, 5120, 700], channels=2),
+        _uniform_stream([2570, 2570, 100], channels=1),  # 2570 % 20 != 0
+    ]
+    want = [codec.decode_all(d).samples for d in streams]
+    outs = batch_decode(streams)
+    for o, w in zip(outs, want):
+        assert np.array_equal(o.samples, w)
+    monkeypatch.setattr(native, "available", lambda: False)
+    outs = batch_decode(streams)
+    for o, w in zip(outs, want):
+        assert np.array_equal(o.samples, w)
+
+
+def test_stream_slab_decode_three_channels():
+    """C=3 streams slab-parse into the chain-array kernels (the fused
+    raw-bytes decode is mono/stereo only): the dense word/LMS gather and
+    the decode_chains + interleave_trim path must match decode_all."""
+    data = _uniform_stream([5120] * 3 + [640], channels=3)
+    want = codec.decode_all(data).samples
+    out = QoaDecoder(data).decode_pending()
+    assert np.array_equal(out, want)
+
+
+def test_bulk_drain_overflow_stays_lossless():
+    """A hostile-but-decodable stream whose FIRST frame understates the
+    per-frame sample count (tiny frame 0, full frames after) makes the
+    bulk drain's capacity estimate undershoot; the overflow list must
+    keep the drain lossless and byte-exact vs decode_all."""
+    data = _uniform_stream([20, 5120, 5120], channels=2)
+    want = codec.decode_all(data).samples
+    dec = QoaDecoder(data, backend="native")
+    out = dec.decode_pending()
+    assert np.array_equal(out, want)
+
+
+def test_bulk_drain_raises_when_nothing_decodable():
+    """EOF inside frame 2's LMS: the first bulk drain returns frame 1's
+    samples with the error deferred; the SECOND drain has zero decodable
+    samples, so the deferred error must surface instead of returning an
+    empty array (truncation fidelity, reference src/lib.rs:271-281)."""
+    data = _uniform_stream([5120, 5120], channels=2)
+    f1_size = fmt.qoa_frame_size(2, fmt.QOA_SLICES_PER_FRAME)
+    cut = data[: 8 + f1_size + 8 + 10]  # header + frame 1 + hdr2 + mid-LMS
+    want = codec.decode_all(_uniform_stream([5120], channels=2)).samples
+    dec = QoaDecoder(cut, backend="native")
+    first = dec.decode_pending()
+    assert np.array_equal(first, want)
+    with pytest.raises(IoError):
+        dec.decode_pending()
+
+
+def test_decode_pending_after_partial_iteration_numpy_backend():
+    """A partially-drained iterator leaves a mid-frame _pending remainder;
+    decode_pending on the non-bulk path (numpy backend) must resume at
+    the exact sample boundary."""
+    data = _uniform_stream([5120, 700], channels=2)
+    want = codec.decode_all(data).samples
+    dec = QoaDecoder(data, backend="numpy")
+    it = iter(dec)
+    assert isinstance(next(it), FrameHeader)
+    got_head = [next(it) for _ in range(5)]
+    assert got_head == [int(v) for v in want[:5]]
+    rest = dec.decode_pending()
+    assert np.array_equal(rest, want[5:])
