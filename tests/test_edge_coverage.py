@@ -606,3 +606,27 @@ def test_decode_pending_after_partial_iteration_numpy_backend():
     assert got_head == [int(v) for v in want[:5]]
     rest = dec.decode_pending()
     assert np.array_equal(rest, want[5:])
+
+
+def test_pallas_tile_pickers_and_cpu_availability():
+    """The pure tile/block pickers behind both Mosaic kernels, and the
+    availability probes: largest decode tile not exceeding the batch
+    (floor config below the minimum), the measured 256-lane encode block
+    optimum, and available() == False (not an exception) on the
+    CPU-forced suite."""
+    from qoaudio_tpu.ops import pallas_decode as pd
+    from qoaudio_tpu.ops import pallas_encode as pe
+
+    assert pd.pick_tile(32 * 128) == (32, 32)
+    assert pd.pick_tile(33 * 128) == (32, 32)
+    assert pd.pick_tile(16 * 128) == (16, 32)
+    assert pd.pick_tile(8 * 128) == (8, 64)
+    assert pd.pick_tile(1) == (8, 64)  # floor: tiny batches pad up
+
+    assert pe._pick_block(256) == 256   # two 128-chain groups (optimum)
+    assert pe._pick_block(512) == 256
+    assert pe._pick_block(384) == 384   # 256 doesn't divide; 384 does
+    assert pe._pick_block(128) == 128
+
+    assert pd.available() is False
+    assert pe.available() is False
