@@ -328,3 +328,25 @@ def test_cli_play_audio_sink_misaligned_pending_block(tmp_path, monkeypatch):
     # to its own decode (QOA is lossy: compare decoded, not source, PCM)
     got = np.concatenate([w.reshape(-1) for w in written if w.shape[1] == 2])
     assert np.array_equal(got, codec.decode_all(b).samples)
+
+
+def test_python_dash_m_package_entry():
+    """``python -m qoaudio_tpu`` is the CLI (qoaudio_tpu/__main__.py)."""
+    import os
+    import subprocess
+    import sys
+
+    fix = os.path.join(
+        os.path.dirname(__file__), "fixtures", "julien_baker_sprained_ankle.qoa"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "qoaudio_tpu", "info", fix],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "channels 2" in proc.stdout and "44100" in proc.stdout
