@@ -52,6 +52,7 @@ from .codec import (  # noqa: F401
     decode_all,
     decode_range,
     encode_all,
+    encode_all_batch,
     open_and_decode_all,
 )
 
@@ -70,6 +71,7 @@ __all__ = [
     "decode_all",
     "decode_range",
     "encode_all",
+    "encode_all_batch",
     "open_and_decode_all",
     "QoaDecoder",
     "QoaEncoder",

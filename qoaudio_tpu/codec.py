@@ -518,3 +518,219 @@ def encode_all(sample_data, desc: QoaDesc, backend: str = "auto") -> bytes:
         ]
     )  # (F, 256, C) logical slice words
     return bs.assemble_stream_bytes(C, desc.sample_rate, T, snaps_all, words_all)
+
+
+# ---------------------------------------------------------------------------
+# Host-tier batch encode (mono pairing)
+# ---------------------------------------------------------------------------
+
+# Pairwise fallback events per paired window above which pairing two mono
+# files stops paying against two straggler-free mono16 passes.  Measured
+# breakeven ~1.5 (experiments/cpp_encode_dual_mono.py: fixture music 0.40
+# -> 1.37x win, synthetic music 1.24 -> 1.24x win, noisy 1.77 / random
+# 1.99 -> 0.76-0.79x loss).
+_DUAL_MONO_BAIL = 1.5
+# The pairing decision is made ONCE, from a 16-frame paired probe, then
+# the rest of the pair runs unmonitored in one native call per mode.
+# Finer-grained adaptive controllers were built and measured first
+# (per-frame gate, 8-frame blocks with retry, EWMA + exponential-backoff
+# probing): every one lost 7-10% on BOTH sides — monitoring block loops
+# tax the kernel ~3-18% in per-call overhead, single-block rate spikes
+# bail on music whose mean is far below breakeven (10.5% of fixture
+# frames exceed 1.5 around a 0.403 mean), and probe/recovery lag bleeds
+# on noise.  The one-shot probe keeps real music at the full paired rate
+# and caps the adversarial downside at the probe's ~2 blocks
+# (experiments/cpp_encode_dual_mono.py).
+_DUAL_MONO_PROBE_FRAMES = 16
+
+
+def _encode_two_mono_native(a, da: QoaDesc, b, db: QoaDesc) -> tuple[bytes, bytes]:
+    """Encode two mono files as one pairwise C==2 chain, adaptively.
+
+    Mono encode is structurally ~half the stereo rate: one file has no
+    second independent work stream to fill the 512-bit chain's other
+    half (the reference encodes channels of ONE stream together,
+    src/lib.rs:470-607 — it has no cross-file axis at all).  Two mono
+    files do: the pairwise kernel's channels make fully independent
+    decisions, so interleaving the files' common full-window prefix as a
+    fake stereo signal and splitting the per-channel words/LMS snaps is
+    byte-identical to encoding each alone at up to 2x the aggregate rate.
+
+    Adaptivity: the pairwise path re-admits the scalar straggler work
+    that mono16 structurally lacks, which on noise-like content outweighs
+    the shared chain (0.76-0.79x measured).  The first
+    ``_DUAL_MONO_PROBE_FRAMES`` frames therefore run paired while
+    watching the native engine's exact fallback counter: a probe rate
+    above ``_DUAL_MONO_BAIL`` per window sends the rest of both files
+    down the per-file mono16 path.  Byte-identity holds on either path,
+    so the switch is purely a throughput policy — and it is
+    deterministic: the counter depends only on the input bytes.
+    """
+    from . import native
+
+    SL = fmt.QOA_SLICE_LEN
+    WPF = fmt.QOA_SLICES_PER_FRAME
+
+    flat_a = np.ascontiguousarray(np.asarray(a, dtype=np.int16).reshape(-1))
+    flat_b = np.ascontiguousarray(np.asarray(b, dtype=np.int16).reshape(-1))
+
+    def grid(T):
+        F = -(-T // fmt.QOA_FRAME_LEN)
+        W = F * WPF
+        nw = -(-T // SL)
+        lens = np.zeros(W, np.int32)
+        lens[:nw] = SL
+        lens[nw - 1] = T - (nw - 1) * SL
+        return lens, W, F
+
+    lens_a, Wa, Fa = grid(da.samples)
+    lens_b, Wb, Fb = grid(db.samples)
+    words_a = np.zeros(Wa, np.uint64)
+    words_b = np.zeros(Wb, np.uint64)
+    snaps_a = np.zeros((Fa, 8), np.int32)
+    snaps_b = np.zeros((Fb, 8), np.int32)
+    state2 = np.ascontiguousarray(initial_encoder_state(2))
+
+    # paired prefix: only full-20 windows can share the kernel's per-window
+    # lens, and a partial window only ever ends a file
+    wp = min(da.samples // SL, db.samples // SL)
+    inter = np.empty((wp * SL, 2), np.int16)
+    inter[:, 0] = flat_a[: wp * SL]
+    inter[:, 1] = flat_b[: wp * SL]
+    lens_full = np.full(wp, SL, np.int32)
+
+    # 16-frame paired probe (the whole prefix if shorter), then ONE
+    # unmonitored native call for the rest in the chosen mode.  Probe and
+    # rest both start frame-aligned, so encode_file's interval-relative
+    # snaps land exactly on frame indices.
+    w = min(wp, _DUAL_MONO_PROBE_FRAMES * WPF)
+    f0 = native.encode_fallbacks()
+    if w:
+        w2, s2 = native.encode_file(
+            inter[: w * SL], lens_full[:w], w, WPF, state2
+        )
+        words_a[:w] = w2[:, 0]
+        words_b[:w] = w2[:, 1]
+        snaps_a[: s2.shape[0]] = s2[:, :, 0]
+        snaps_b[: s2.shape[0]] = s2[:, :, 1]
+    paired = native.encode_fallbacks() - f0 <= _DUAL_MONO_BAIL * max(w, 1)
+
+    if paired and w < wp:
+        w2, s2 = native.encode_file(
+            inter[w * SL :], lens_full[w:], wp - w, WPF, state2
+        )
+        words_a[w:wp] = w2[:, 0]
+        words_b[w:wp] = w2[:, 1]
+        fr = w // WPF
+        snaps_a[fr : fr + s2.shape[0]] = s2[:, :, 0]
+        snaps_b[fr : fr + s2.shape[0]] = s2[:, :, 1]
+        w = wp
+
+    st_a = np.ascontiguousarray(state2[:, 0:1])
+    st_b = np.ascontiguousarray(state2[:, 1:2])
+    if not paired and w < wp:
+        # straggler-heavy content: each file's remaining full windows run
+        # mono16 in one call per file
+        fr = w // WPF
+        for flat, words, snaps, st in (
+            (flat_a, words_a, snaps_a, st_a),
+            (flat_b, words_b, snaps_b, st_b),
+        ):
+            w2, s2 = native.encode_file(
+                flat[w * SL : wp * SL].reshape(-1, 1),
+                lens_full[w:], wp - w, WPF, st,
+            )
+            words[w:wp] = w2[:, 0]
+            snaps[fr : fr + s2.shape[0]] = s2[:, :, 0]
+        w = wp
+
+    # per-file mono16 finish: the longer file's surplus full windows, any
+    # partial final window, and the zero-length padding windows of the
+    # final frame (state passes through those).  Two native calls per
+    # file: the head finishes the frame wp sits in (whose snap is already
+    # recorded above), then one whole-tail encode_file.
+    for flat, T, W, lens, words, snaps, st in (
+        (flat_a, da.samples, Wa, lens_a, words_a, snaps_a, st_a),
+        (flat_b, db.samples, Wb, lens_b, words_b, snaps_b, st_b),
+    ):
+        if wp >= W:
+            continue
+        tail = np.zeros((W - wp) * SL, np.int16)
+        n_valid = max(0, T - wp * SL)
+        tail[:n_valid] = flat[wp * SL : wp * SL + n_valid]
+        ww = wp
+        head = min(W, -(-ww // WPF) * WPF) - ww
+        if head:
+            words[ww : ww + head] = native.encode_windows(
+                tail[: head * SL].reshape(-1, 1), lens[ww : ww + head],
+                head, st,
+            )[:, 0]
+            ww += head
+        if ww < W:
+            w2, s2 = native.encode_file(
+                tail[(ww - wp) * SL :].reshape(-1, 1), lens[ww:],
+                W - ww, WPF, st,
+            )
+            words[ww:] = w2[:, 0]
+            snaps[ww // WPF :] = s2[:, :, 0]
+
+    return (
+        bs.assemble_stream_bytes(
+            1, da.sample_rate, da.samples,
+            snaps_a.reshape(Fa, 8, 1), words_a.reshape(Fa, WPF, 1),
+        ),
+        bs.assemble_stream_bytes(
+            1, db.sample_rate, db.samples,
+            snaps_b.reshape(Fb, 8, 1), words_b.reshape(Fb, WPF, 1),
+        ),
+    )
+
+
+def encode_all_batch(
+    files, backend: str = "auto"
+) -> list:
+    """Host-tier batch encode: many files, mono files paired.
+
+    ``files`` is a sequence of ``(interleaved_pcm, QoaDesc)``.  Returns
+    the QOA byte stream per file, in input order, each byte-identical to
+    ``encode_all`` on that file alone.
+
+    On the native backend, mono files pair up into the C==2 chain
+    (nearest full-window counts pair together to maximize the shared
+    prefix) for up to 2x aggregate mono throughput on real audio — see
+    ``_encode_two_mono_native``.  Everything else (stereo+, non-native
+    backends, an odd mono leftover) encodes per file.  For the batched
+    DEVICE path (HBM-resident corpus encode on TPU) use
+    ``parallel.corpus.batch_encode`` instead — this is the latency-bound
+    host sibling.
+    """
+    from . import native
+
+    files = list(files)
+    out: list = [None] * len(files)
+    mono_idx = []
+    for i, (pcm, desc) in enumerate(files):
+        _validate_desc(desc)
+        if np.asarray(pcm).size != desc.samples * desc.channels:
+            raise InvalidSamples()
+        if (
+            desc.channels == 1
+            and backend in ("auto", "native")
+            and native.available()
+        ):
+            mono_idx.append(i)
+        else:
+            out[i] = encode_all(pcm, desc, backend=backend)
+
+    # nearest window counts pair together: sort by full-window count so
+    # adjacent pairs share the longest possible paired prefix
+    mono_idx.sort(key=lambda i: files[i][1].samples // fmt.QOA_SLICE_LEN)
+    for k in range(0, len(mono_idx) - 1, 2):
+        ia, ib = mono_idx[k], mono_idx[k + 1]
+        out[ia], out[ib] = _encode_two_mono_native(
+            files[ia][0], files[ia][1], files[ib][0], files[ib][1]
+        )
+    if len(mono_idx) % 2:
+        i = mono_idx[-1]
+        out[i] = encode_all(files[i][0], files[i][1], backend=backend)
+    return out

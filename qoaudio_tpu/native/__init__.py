@@ -170,6 +170,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 p_i16, p_i32, i64, i64, i64, p_i32, p_u64, p_i32,
             ]
             lib.qoa_encode_file.restype = None
+            lib.qoa_encode_fallbacks.argtypes = []
+            lib.qoa_encode_fallbacks.restype = i64
 
         try:
             _bind(lib)
@@ -455,3 +457,17 @@ def encode_file(
     snaps = np.empty((n_snaps, 8, C), dtype=np.int32)
     lib.qoa_encode_file(pcm, lens, W, C, interval, state, words, snaps)
     return words, snaps
+
+
+def encode_fallbacks() -> int:
+    """Monotone count of pairwise-encoder fallback events (wrap-risk
+    re-evaluations, fast16 resolutions, scalar straggler walks).
+
+    The delta across an ``encode_windows`` call measures the extra work
+    the pairwise C==2 path does over the straggler-free mono16 path —
+    the signal ``codec.encode_all_batch`` uses to decide whether pairing
+    two mono files keeps paying (experiments/cpp_encode_dual_mono.py).
+    Returns 0 when the engine is unavailable (callers treat the delta as
+    "no fallbacks", which matches: no native engine, no pairing)."""
+    lib = _load()
+    return int(lib.qoa_encode_fallbacks()) if lib is not None else 0

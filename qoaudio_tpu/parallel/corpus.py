@@ -117,8 +117,9 @@ def batch_encode(
 
     if mesh is None and _jax_platform() is None:
         # no usable jax backend (e.g. a clobbered environment): the host
-        # engine still delivers the same bit-exact streams, file by file
-        return [codec.encode_all(pcm, d) for pcm, d in files]
+        # engine still delivers the same bit-exact streams — with mono
+        # files paired into the C==2 chain (codec._encode_two_mono_native)
+        return codec.encode_all_batch(files)
 
     layouts = [codec.layout_pcm(pcm, d.channels, d.samples) for pcm, d in files]
     F_max = max(F for _, _, F in layouts)

@@ -350,3 +350,35 @@ def test_python_dash_m_package_entry():
     )
     assert proc.returncode == 0, proc.stderr
     assert "channels 2" in proc.stdout and "44100" in proc.stdout
+
+
+def test_cli_encode_batch_to_directory(tmp_path, capsys):
+    # multiple inputs: last positional is a directory; mono files pair
+    # into the native chain but every output must equal the single-file
+    # library encode
+    pcms = {
+        "m1": (make_sine(5000), 1),
+        "m2": (make_sine(6100, freq=330.0), 1),
+        "s1": (make_noise(4000, 2, seed=3), 2),
+    }
+    ins = []
+    for name, (pcm, ch) in pcms.items():
+        p = tmp_path / f"{name}.wav"
+        write_wav(p, pcm, ch, 44100)
+        ins.append(str(p))
+    out_dir = tmp_path / "qoa"
+    assert cli.main(["encode", *ins, str(out_dir)]) == 0
+    out = capsys.readouterr().out
+    assert out.count("compression") == 4  # 3 per-file lines + total
+    for name, (pcm, ch) in pcms.items():
+        want = codec.encode_all(pcm, QoaDesc(ch, 44100, len(pcm) // ch))
+        assert (out_dir / f"{name}.qoa").read_bytes() == want
+
+
+def test_cli_encode_single_into_existing_directory(tmp_path, wav_file):
+    wav_in, pcm = wav_file
+    out_dir = tmp_path / "d"
+    out_dir.mkdir()
+    assert cli.main(["encode", str(wav_in), str(out_dir)]) == 0
+    want = codec.encode_all(pcm, QoaDesc(2, 44100, 5000))
+    assert (out_dir / "in.qoa").read_bytes() == want
