@@ -678,7 +678,23 @@ def batch_transcode(
         )
 
     if _jax_platform() is None:
-        return _ret([_host_pair(d) for d in streams])
+        # batch the encode side so mono files pair into the C==2 chain
+        # (codec._encode_two_mono_native) instead of paying per-file mono16
+        decoded = [codec.decode_all(d) for d in streams]
+        return _ret(
+            codec.encode_all_batch(
+                [
+                    (
+                        o.samples,
+                        QoaDesc(
+                            o.num_channels, o.sample_rate,
+                            o.samples_per_channel,
+                        ),
+                    )
+                    for o in decoded
+                ]
+            )
+        )
     parsed = [parse_file_arrays(d) for d in streams]
 
     def _eligible(p) -> bool:

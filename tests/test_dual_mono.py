@@ -178,3 +178,17 @@ def test_fallback_counter_binding():
     assert isinstance(f0, int)
     encode_all(make_noise(R, seed=3), QoaDesc(1, R, R), backend="native")
     assert native.encode_fallbacks() >= f0
+
+
+def test_batch_transcode_no_jax_fallback_pairs(monkeypatch):
+    # the jax-less batch_transcode fallback decodes per file but batches
+    # the encode side, so mono streams pair — output bytes unchanged
+    from qoaudio_tpu.parallel import corpus
+
+    streams = [
+        encode_all(make_sine(2 * R), QoaDesc(1, R, 2 * R)),
+        encode_all(make_sine(2 * R + 9, freq=330.0), QoaDesc(1, R, 2 * R + 9)),
+    ]
+    want = corpus.batch_transcode(streams)
+    monkeypatch.setattr(corpus, "_jax_platform", lambda: None)
+    assert corpus.batch_transcode(streams) == want
