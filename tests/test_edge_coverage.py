@@ -319,6 +319,7 @@ void qoa_decode_interleaved_mono_raw() {}
 long qoa_has_fused_interleaved() { return 0; }
 void qoa_encode_windows() {}
 void qoa_encode_file() {}
+long qoa_encode_fallbacks() { return 0; }
 }
 """
 
